@@ -1,0 +1,22 @@
+"""Pure-Python HTML extraction engine (no bs4/lxml/markdownify deps).
+
+Used both by the single-node oracle/simulator and inside the vectorized
+Arrow UDFs, so Spark output is byte-identical to the oracle by
+construction (BASELINE.json input_hint invariant).
+"""
+
+from .convert import DetectionFlags, convert_content, detect_render_flags
+from .dom import Element, TextNode, parse_html
+from .markdown import html_to_markdown
+from .plaintext import html_to_plaintext
+
+__all__ = [
+    "DetectionFlags",
+    "Element",
+    "TextNode",
+    "convert_content",
+    "detect_render_flags",
+    "html_to_markdown",
+    "html_to_plaintext",
+    "parse_html",
+]

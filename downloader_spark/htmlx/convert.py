@@ -1,0 +1,204 @@
+"""Production conversion path + JS-render detection flags.
+
+Reference semantics:
+- ``convert_content``: content_converter.py:526-552 (decode utf-8
+  errors="ignore"; HTML iff "html" in content_type.lower(); exception →
+  decode errors="replace").
+- ``_convert_html_to_format``: content_converter.py:441-493 (strip set
+  incl. iframe/noscript; selector cascade; body fallback).
+- markdown fallback-to-text when empty: content_converter.py:496-512.
+- detection heuristics D1/D2: content_converter.py:83-285 → pure flags
+  (``needs_render``/``needs_js_render``); no caches (the engine's
+  URL-seen/detection state lives in tables, not process memory).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .dom import Element, parse_html
+from .markdown import html_to_markdown
+from .plaintext import MAIN_CONTENT_SELECTORS, html_to_plaintext
+
+# content_converter.py:455-468 — note: superset of the transformer default
+CONVERT_STRIP = [
+    "script",
+    "style",
+    "nav",
+    "header",
+    "footer",
+    "aside",
+    "menu",
+    "form",
+    "iframe",
+    "noscript",
+]
+
+# Engine config mirroring reference config.py defaults
+MIN_BODY_TEXT_THRESHOLD = 100  # config.py:257-262
+MIN_JS_FRAMEWORK_CONTENT_THRESHOLD = 200  # config.py:263-268
+SMALL_CONTENT_SIZE = 50000  # content_converter.py:260
+STATIC_BODY_TEXT_THRESHOLD = 500  # content_converter.py:275
+JS_HEAVY_DOMAINS = ["substack.com", "medium.com", "notion.so", "ghost.io"]  # config.py:251-254
+JS_REQUIRED_PATTERNS = [  # content_converter.py:231-238
+    "please enable javascript",
+    "javascript is required",
+    "enable js",
+    "turn on javascript",
+    "javascript is disabled",
+    "requires javascript",
+]
+
+
+def _extract_main_for_convert(root: Element) -> Element:
+    """Cascade then body-else-document (content_converter.py:472-488)."""
+    for selector in MAIN_CONTENT_SELECTORS:
+        found = root.select_one(selector)
+        if found is not None:
+            return found
+    body = root.find("body")
+    return body if body is not None else root
+
+
+def _convert_html_to_format(html_text: str, output_format: str) -> str:
+    root = parse_html(html_text)
+    root.decompose_all(CONVERT_STRIP)
+    main = _extract_main_for_convert(root)
+
+    if output_format == "markdown":
+        # content_converter.py:496-512 — transformer on the extracted
+        # subtree; empty result falls back to newline-joined text
+        markdown = _markdown_on_subtree(main)
+        if not markdown.strip():
+            text = main.get_text(separator="\n", strip=True)
+            text = re.sub(r"\n\s*\n+", "\n\n", text)
+            return text.strip()
+        return markdown
+    return _plaintext_on_subtree(main)
+
+
+def _plaintext_on_subtree(main: Element) -> str:
+    """html_to_plaintext(str(main), extract_main_content=False) without
+    the serialize/re-parse round-trip (semantically identical: the
+    transformer strip set is a subset of CONVERT_STRIP, already removed).
+    """
+    text = main.get_text(separator=" ", strip=True)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def _markdown_on_subtree(main: Element) -> str:
+    from .markdown import _Ctx, _convert_node, _convert_children
+
+    ctx = _Ctx(heading_style="atx", bullets="*")
+    if main.tag in ("[document]", "html", "body"):
+        md = _convert_children(main, ctx)
+    else:
+        md = _convert_node(main, ctx)
+    md = re.sub(r"\n\s*\n\s*\n+", "\n\n", md)
+    return md.strip()
+
+
+def convert_content(content: bytes, content_type: str, output_format: str = "text") -> str:
+    """Reference convert_content (content_converter.py:526-552)."""
+    try:
+        text = content.decode("utf-8", errors="ignore")
+        if "html" in content_type.lower():
+            return _convert_html_to_format(text, output_format)
+        return text
+    except Exception:
+        return content.decode("utf-8", errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# Detection heuristics → pure flags (reference D1/D2)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DetectionFlags:
+    """Per-page render-detection outcome (replaces the reference's four
+    LRU caches, content_converter.py:54-58, with columns)."""
+
+    body_text_len: int
+    has_content_container: bool
+    is_error_page: bool
+    needs_render: bool  # D1: should_use_playwright_fallback
+    needs_js_render: bool  # D2: should_use_playwright_for_html
+
+
+def _has_missing_metadata(root: Element) -> bool:
+    """content_converter.py:141-163."""
+    has_title = False
+    has_description = False
+    for meta in root.find_all("meta"):
+        prop = meta.get("property")
+        name = meta.get("name")
+        if prop == "og:title" or name == "twitter:title":
+            has_title = True
+        elif prop == "og:description" or name == "twitter:description":
+            has_description = True
+    return not (has_title and has_description)
+
+
+def _has_js_framework_markers(root: Element, body_text: str) -> bool:
+    """content_converter.py:166-187."""
+    has_marker = (
+        root.select_one("#root") is not None
+        or root.select_one("#app") is not None
+        or root.find_by_attr("ng-app") is not None
+    )
+    return has_marker and len(body_text) < MIN_JS_FRAMEWORK_CONTENT_THRESHOLD
+
+
+def detect_render_flags(url: str, content: bytes, content_type: str) -> DetectionFlags:
+    """Compute D1+D2 in one parse (content_converter.py:83-285, cache-free)."""
+    if "html" not in content_type.lower():
+        return DetectionFlags(0, False, False, False, False)
+
+    try:
+        root = parse_html(content)
+    except Exception:
+        # D1 defaults True on parse failure (:136-138); D2 defaults False (:283-285)
+        return DetectionFlags(0, False, False, True, False)
+
+    body = root.find("body")
+    body_text = body.get_text(strip=True) if body is not None else ""
+
+    # --- D1: should_use_playwright_fallback (:83-138)
+    if body is None or len(body_text) < MIN_BODY_TEXT_THRESHOLD:
+        needs_render = False
+        has_container = False
+        is_error = False
+    else:
+        has_container = (
+            root.select_one("main, article, .content, #content, .post, .article-body")
+            is not None
+        )
+        is_error = (
+            root.select_one(".error, .not-found, .404, .maintenance, .coming-soon")
+            is not None
+        )
+        needs_render = True if has_container else (not is_error)
+
+    # --- D2: should_use_playwright_for_html (:190-285)
+    text_lower = root.get_text("").lower()
+    if any(p in text_lower for p in JS_REQUIRED_PATTERNS):
+        needs_js = True
+    elif body is None:
+        needs_js = False
+    elif _has_js_framework_markers(root, body_text):
+        needs_js = True
+    elif len(content) < SMALL_CONTENT_SIZE and _has_missing_metadata(root):
+        needs_js = True
+    elif any(d in url for d in JS_HEAVY_DOMAINS):
+        needs_js = True
+    else:
+        needs_js = False
+
+    return DetectionFlags(
+        body_text_len=len(body_text),
+        has_content_container=has_container,
+        is_error_page=is_error,
+        needs_render=needs_render,
+        needs_js_render=needs_js,
+    )
