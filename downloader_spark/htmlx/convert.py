@@ -110,6 +110,45 @@ def convert_content(content: bytes, content_type: str, output_format: str = "tex
         return content.decode("utf-8", errors="replace")
 
 
+@dataclass(frozen=True)
+class ExtractResult:
+    """One page's conversion outputs + detection flags."""
+
+    text: str
+    markdown: str
+    flags: "DetectionFlags"
+
+
+def extract_page(content: bytes, content_type: str, url: str = "") -> ExtractResult:
+    """Text + markdown + detection flags with a single strip/cascade pass.
+
+    Byte-identical to calling ``convert_content(content, ct, "text")`` and
+    ``convert_content(content, ct, "markdown")`` separately (pinned by
+    tests/test_htmlx_convert.py) — the stripped tree is read-only for both
+    conversions, so one parse serves both. Detection (D1/D2) needs the
+    UN-stripped tree, hence its own parse of the raw bytes.
+    """
+    flags = detect_render_flags(url, content, content_type)
+    try:
+        text_in = content.decode("utf-8", errors="ignore")
+    except Exception:  # pragma: no cover - decode with ignore never raises
+        decoded = content.decode("utf-8", errors="replace")
+        return ExtractResult(decoded, decoded, flags)
+    if "html" not in content_type.lower():
+        return ExtractResult(text_in, text_in, flags)
+
+    root = parse_html(text_in)
+    root.decompose_all(CONVERT_STRIP)
+    main = _extract_main_for_convert(root)
+
+    text = _plaintext_on_subtree(main)
+    markdown = _markdown_on_subtree(main)
+    if not markdown.strip():
+        fallback = main.get_text(separator="\n", strip=True)
+        markdown = re.sub(r"\n\s*\n+", "\n\n", fallback).strip()
+    return ExtractResult(text, markdown, flags)
+
+
 # ---------------------------------------------------------------------------
 # Detection heuristics → pure flags (reference D1/D2)
 # ---------------------------------------------------------------------------

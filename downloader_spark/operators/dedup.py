@@ -1,0 +1,262 @@
+"""Deduplication family for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard — each
+designed so the expensive comparison is bucket-local (shuffle on the
+bucket key only; no O(n²) cross join). At 100 TB the candidate
+generation (LSH banding / simhash prefix) is the only shuffle; the
+verify step runs within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str, text: Column) -> DataFrame:
+    """Group identical texts by md5; keeper = min(id). Pure hash-agg —
+    one shuffle on the digest, no text comparison."""
+    return (
+        df.select(F.col(id_col), F.md5(text).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def exact_dedup_survivors(df: DataFrame, id_col: str, text: Column) -> DataFrame:
+    """Keep-first-by-id semantics: one row per distinct text."""
+    w_keeper = exact_dup_groups(df, id_col, text).select(
+        F.col("keeper").alias(id_col)
+    )
+    return w_keeper
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(text), r"\s+", " ")
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-shingles as an array<string> — native (split + transform +
+    slice + concat_ws), no Python."""
+    words = F.split(F.trim(_normalized_text(text)), " ")
+    n = F.size(words)
+    # sequence is empty when fewer than k words → fall back to whole text
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )).otherwise(F.array(F.trim(_normalized_text(text))))
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
+    """num_hashes MinHash values via seeded xxhash64 — fully native:
+    per permutation i, min over shingles of xxhash64(shingle, i).
+    (Standard MinHash construction; hash-seed family instead of linear
+    permutations — same collision analysis, zero UDF cost.)"""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, verified by estimated
+    Jaccard = fraction of matching minhash components.
+
+    Plan shape (scale-critical): signatures computed map-side; explode
+    to ``bands`` rows per doc; shuffle ONCE on (band, band_hash);
+    self-join within buckets (bucket sizes are collision-bounded);
+    estimated-Jaccard filter needs only the two signatures. Returns
+    (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles(text, shingle_k), num_hashes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("_sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_sig", "bk.band", "bk.bhash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bhash") == F.col("r.bhash"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sig").alias("sig_a"),
+            F.col("r._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column, shingle_k: int = 2) -> Column:
+    """64-bit SimHash over word shingles — native bit arithmetic:
+    per bit position, sign of sum over tokens of (bit ? +1 : −1)."""
+    toks = shingles(text, shingle_k)
+    hashes = F.transform(toks, lambda s: F.xxhash64(s))
+    bits = []
+    for i in range(64):
+        # sum of (2*bit−1) over token hashes at position i
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+        bit = F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bits.append(F.shiftleft(bit, i))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text: Column, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidate generation: split the 64-bit hash into 4 16-bit blocks —
+    any pair within distance ≤3 shares at least one exact block
+    (pigeonhole). Shuffle once on (block_idx, block_value); verify
+    Hamming within buckets via bit_count(xor).
+    """
+    sh = df.select(F.col(id_col).alias("_id"), simhash64(text).alias("_sh"))
+    blocks = sh.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("_sh", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bval"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_sh", "b.blk", "b.bval")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.blk") == F.col("r.blk"),
+                F.col("l.bval") == F.col("r.bval"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l._sh").bitwiseXOR(F.col("r._sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, bucket-local verify)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word k-grams for candidate pairs that share at
+    least one k-gram (inverted-index join on the gram — no cross join).
+    Intended for within-bucket verification at scale; exact over the
+    whole input at test scale."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text, k)).alias("gram"),
+        F.size(shingles(text, k)).alias("n_grams"),
+    )
+    l, r = grams.alias("l"), grams.alias("r")
+    inter = (
+        l.join(r, on=[F.col("l.gram") == F.col("r.gram"), F.col("l._id") < F.col("r._id")])
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("l.n_grams").alias("n_a"),
+            F.first("r.n_grams").alias("n_b"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,486 @@
+"""Driver-contract queries: each SURVEY §2 operator exposed as a
+(spark_fn, oracle_sql) pair over the /root/testdata tables.
+
+Column names are aliased identically on both sides (the driver's
+compare sorts columns by name and hashes values). Float aggregates are
+rounded; BIGINT sums are cast explicitly in DuckDB (its SUM(BIGINT)
+returns HUGEINT, Spark's returns LONG).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.aggregates import (
+    HISTOGRAM_BUCKETS,
+    batch_summary,
+    cumulative_histogram,
+    health_score,
+)
+from .operators.dedup import exact_dup_groups
+from .operators.topk import history_page, per_key_topk
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship + document/text analytics
+# ---------------------------------------------------------------------------
+
+@_q(
+    "lang_profile",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_lang_profile(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "token_counts",
+    """
+    SELECT doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    return docs.select("doc_id", toks.alias("n_tokens"))
+
+
+@_q(
+    "quality_score",
+    """
+    SELECT doc_id,
+           ROUND(LEN(regexp_replace(text, '[^.!?]', '', 'g')) * 1.0
+                 / GREATEST(n_chars, 1), 6) AS punct_ratio,
+           ROUND(LEN(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                 / GREATEST(n_chars, 1), 6) AS digit_ratio,
+           CASE WHEN n_chars >= 200 THEN 'long'
+                WHEN n_chars >= 50 THEN 'medium' ELSE 'short' END AS length_band
+    FROM documents
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    denom = F.greatest("n_chars", F.lit(1))
+    punct = F.length(F.regexp_replace("text", r"[^.!?]", ""))
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    return docs.select(
+        "doc_id",
+        F.round(punct / denom, 6).alias("punct_ratio"),
+        F.round(digits / denom, 6).alias("digit_ratio"),
+        F.when(F.col("n_chars") >= 200, "long")
+        .when(F.col("n_chars") >= 50, "medium")
+        .otherwise("short")
+        .alias("length_band"),
+    )
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT digest, n_dups, keeper FROM (
+      SELECT md5(text) AS digest,
+             CAST(COUNT(*) AS BIGINT) AS n_dups,
+             MIN(doc_id) AS keeper
+      FROM documents GROUP BY md5(text)
+    ) ORDER BY n_dups DESC, keeper LIMIT 100
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        exact_dup_groups(docs, "doc_id", F.col("text"))
+        .orderBy(F.desc("n_dups"), "keeper")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-semantics operators on the events table (job/metrics analogs)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "batch_summary",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS total_requests,
+           CAST(SUM(CASE WHEN value > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS successful,
+           CAST(SUM(CASE WHEN value > 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS failed,
+           ROUND(AVG(CASE WHEN value > 1.0 THEN 1.0 ELSE 0.0 END) * 100.0, 4) AS success_rate
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_batch_summary(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return batch_summary(ev, ["event_type"], F.col("value") > 1.0).orderBy("event_type")
+
+
+@_q(
+    "exec_history_page",
+    """
+    SELECT event_id, ts, event_type FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+)
+def q_exec_history_page(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    return history_page(ev, "ts", limit=100, tiebreak="event_id")
+
+
+@_q(
+    "priority_topk",
+    """
+    SELECT user_id, event_id, value, rnk FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, ts, event_id) AS rnk
+      FROM events
+    ) WHERE rnk <= 3
+    """,
+)
+def q_priority_topk(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return per_key_topk(
+        ev,
+        ["user_id"],
+        [F.desc("value"), F.asc("ts"), F.asc("event_id")],
+        k=3,
+    ).select("user_id", "event_id", "value", "rnk")
+
+
+_HIST_SQL_COLS = ",\n".join(
+    f"CAST(SUM(CASE WHEN value <= {b} THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS le_{str(b).replace('.', '_')}"
+    for b in HISTOGRAM_BUCKETS
+)
+
+
+@_q(
+    "response_histogram",
+    f"SELECT {_HIST_SQL_COLS}, CAST(COUNT(*) AS BIGINT) AS le_inf FROM events",
+)
+def q_response_histogram(spark, sf_dir):
+    return cumulative_histogram(_t(spark, sf_dir, "events"), F.col("value"))
+
+
+@_q(
+    "health_score",
+    """
+    SELECT shard, n, error_pct, avg_rt, health,
+           CASE WHEN health >= 80 THEN 'healthy'
+                WHEN health >= 60 THEN 'degraded'
+                ELSE 'unhealthy' END AS band
+    FROM (
+      SELECT shard, n, ROUND(err_pct, 4) AS error_pct, ROUND(art, 4) AS avg_rt,
+             ROUND(100.0
+               - LEAST(30.0, 2.0 * GREATEST(0.0, err_pct - 5.0))
+               - LEAST(25.0, 10.0 * GREATEST(0.0, art - 1.0)), 4) AS health
+      FROM (
+        SELECT user_id % 16 AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) * 100.0 AS err_pct,
+               AVG(value) AS art
+        FROM events GROUP BY user_id % 16
+      )
+    ) ORDER BY shard
+    """,
+)
+def q_health_score(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("shard", F.col("user_id") % 16)
+    return health_score(
+        ev, ["shard"], F.col("event_type") == "error", F.col("value")
+    ).orderBy("shard")
+
+
+@_q(
+    "accept_dispatch",
+    """
+    WITH hdr AS (
+      SELECT event_id,
+             CASE event_type
+               WHEN 'signup' THEN 'text/html,application/json'
+               WHEN 'click' THEN 'application/pdf'
+               WHEN 'error' THEN 'text/x-markdown;q=0.9'
+               WHEN 'view' THEN '*/*'
+               ELSE 'application/json' END AS accept
+      FROM events
+    )
+    SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE
+        WHEN accept LIKE '%text/plain%' THEN 'text'
+        WHEN accept LIKE '%text/html%' THEN 'html'
+        WHEN accept LIKE '%text/markdown%' OR accept LIKE '%text/x-markdown%' THEN 'markdown'
+        WHEN accept LIKE '%application/pdf%' THEN 'pdf'
+        WHEN accept LIKE '%application/json%' THEN 'json'
+        ELSE 'raw' END AS fmt
+      FROM hdr
+    ) GROUP BY fmt ORDER BY fmt
+    """,
+)
+def q_accept_dispatch(spark, sf_dir):
+    """P4 first-match-wins dispatch (content_processor.py:52-78)."""
+    ev = _t(spark, sf_dir, "events")
+    accept = (
+        F.when(F.col("event_type") == "signup", "text/html,application/json")
+        .when(F.col("event_type") == "click", "application/pdf")
+        .when(F.col("event_type") == "error", "text/x-markdown;q=0.9")
+        .when(F.col("event_type") == "view", "*/*")
+        .otherwise("application/json")
+    )
+    fmt = (
+        F.when(accept.contains("text/plain"), "text")
+        .when(accept.contains("text/html"), "html")
+        .when(
+            accept.contains("text/markdown") | accept.contains("text/x-markdown"),
+            "markdown",
+        )
+        .when(accept.contains("application/pdf"), "pdf")
+        .when(accept.contains("application/json"), "json")
+        .otherwise("raw")
+    )
+    return (
+        ev.select(fmt.alias("fmt"))
+        .groupBy("fmt")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("fmt")
+    )
+
+
+@_q(
+    "url_validate",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'http://example' || doc_id || '.com/page'
+               WHEN 1 THEN 'example' || doc_id || '.org/path'
+               WHEN 2 THEN 'file:///etc/passwd'
+               WHEN 3 THEN 'ftp://files' || doc_id || '.net/x'
+               WHEN 4 THEN 'http://192.168.' || (doc_id % 256) || '.1/admin'
+               ELSE 'http://bad|host' || doc_id || '.com/x' END AS url
+      FROM documents
+    ), norm AS (
+      SELECT doc_id, url,
+             CASE WHEN regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                  THEN url ELSE 'http://' || url END AS u
+      FROM urls
+    ), parts AS (
+      SELECT doc_id, url, u,
+             lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS authority
+      FROM norm
+    )
+    SELECT doc_id, url,
+           CASE
+             WHEN scheme = 'file' THEN 'file_scheme'
+             WHEN scheme NOT IN ('http', 'https') THEN 'non_http_scheme'
+             WHEN authority = '' THEN 'no_hostname'
+             WHEN NOT regexp_matches(authority, '^[a-zA-Z0-9._:-]+$') THEN 'bad_hostname'
+             WHEN regexp_matches(authority, '^(127\\.|10\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.|192\\.168\\.|169\\.254\\.|0\\.|224\\.)')
+                  OR lower(authority) IN ('localhost', 'localhost.localdomain', 'ip6-localhost')
+                  THEN 'ssrf_blocked'
+             ELSE '' END AS reason
+    FROM parts
+    """,
+)
+def q_url_validate(spark, sf_dir):
+    """P1+P2 as native columns (regexp only — the SQL-expressible slice
+    of validation.py:28-87,229-268; full semantics live in
+    canonicalize_udf and are pinned by tests/test_urlnorm.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    url = (
+        F.when(m == 0, F.concat(F.lit("http://example"), "doc_id", F.lit(".com/page")))
+        .when(m == 1, F.concat(F.lit("example"), "doc_id", F.lit(".org/path")))
+        .when(m == 2, F.lit("file:///etc/passwd"))
+        .when(m == 3, F.concat(F.lit("ftp://files"), "doc_id", F.lit(".net/x")))
+        .when(
+            m == 4,
+            F.concat(F.lit("http://192.168."), F.col("doc_id") % 256, F.lit(".1/admin")),
+        )
+        .otherwise(F.concat(F.lit("http://bad|host"), "doc_id", F.lit(".com/x")))
+    )
+    df = docs.select("doc_id", url.alias("url"))
+    u = F.when(
+        F.col("url").rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), F.col("url")
+    ).otherwise(F.concat(F.lit("http://"), "url"))
+    df = df.withColumn("u", u)
+    scheme = F.lower(F.regexp_extract("u", r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    authority = F.regexp_extract("u", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    df = df.withColumn("scheme", scheme).withColumn("authority", authority)
+    private_re = (
+        r"^(127\.|10\.|172\.(1[6-9]|2[0-9]|3[01])\.|192\.168\.|169\.254\.|0\.|224\.)"
+    )
+    reason = (
+        F.when(F.col("scheme") == "file", "file_scheme")
+        .when(~F.col("scheme").isin("http", "https"), "non_http_scheme")
+        .when(F.col("authority") == "", "no_hostname")
+        .when(~F.col("authority").rlike(r"^[a-zA-Z0-9._:-]+$"), "bad_hostname")
+        .when(
+            F.col("authority").rlike(private_re)
+            | F.lower("authority").isin(
+                "localhost", "localhost.localdomain", "ip6-localhost"
+            ),
+            "ssrf_blocked",
+        )
+        .otherwise("")
+    )
+    return df.select("doc_id", "url", reason.alias("reason"))
+
+
+@_q(
+    "seen_antijoin",
+    """
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents s
+      WHERE s.source IN ('src0', 'src1', 'src2') AND s.doc_id = d.doc_id
+    )
+    """,
+)
+def q_seen_antijoin(spark, sf_dir):
+    """URL-seen dedup core: frontier ANTI seen (SURVEY §2.5)."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("source").isin("src0", "src1", "src2")).select("doc_id")
+    return docs.join(seen, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+@_q(
+    "fetch_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def q_fetch_join(spark, sf_dir):
+    """frontier⟕pages analog: fact⟕dim with the dim broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_q(
+    "wave_metrics",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_wave_metrics(spark, sf_dir):
+    """Per-wave rollup shape (TPC-H Q1 analog): partial+final hash agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extraction pipeline (non-SQL-expressible → rows-only driver check;
+# byte-level correctness is pinned by tests/test_extract_parity.py)
+# ---------------------------------------------------------------------------
+
+@_q("extract_lang_profile")
+def q_extract_lang_profile(spark, sf_dir):
+    from .functions.udfs import extract_udf
+    from .sources.pagegen import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    ex = pages.withColumn(
+        "ex", extract_udf("url", "html", F.lit("text/html"))
+    )
+    return (
+        ex.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("ex.text")).cast("long").alias("total_text_chars"),
+            F.sum(F.col("ex.needs_render").cast("int")).cast("long").alias("n_needs_render"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q("url_canonicalize")
+def q_url_canonicalize(spark, sf_dir):
+    from .functions.udfs import canonicalize_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    raw = (
+        F.when(m == 0, F.concat(F.lit("HTTP://Example"), "doc_id", F.lit(".COM:80/a?b=2&a=1#frag")))
+        .when(m == 1, F.concat(F.lit("example"), "doc_id", F.lit(".org/path/")))
+        .when(m == 2, F.concat(F.lit("https://site"), "doc_id", F.lit(".net:443/x")))
+        .when(m == 3, F.lit("file:///etc/passwd"))
+        .otherwise(F.concat(F.lit("http://10.0.0."), F.col("doc_id") % 256, F.lit("/x")))
+    )
+    df = docs.select("doc_id", raw.alias("url"))
+    return df.withColumn("c", canonicalize_udf("url")).select(
+        "doc_id", "url", "c.url_canonical", "c.host", "c.valid", "c.reason"
+    )

@@ -1,0 +1,99 @@
+"""Shared HTML corpus for parity tests.
+
+Shapes mirror the reference's fixture families
+(/root/reference/tests/fixtures/html_fixtures.py:6-283: substack
+minimal/complete, react/vue shells, static-complete, js-required,
+empty, malformed, medium-like, large) re-expressed compactly — no text
+copied from the reference.
+"""
+
+CORPUS: dict[str, tuple[bytes, str]] = {
+    "article_basic": (
+        b"<html><head><title>T</title><script>var a=1;</script></head>"
+        b"<body><nav>menu</nav><article><h1>Title</h1><p>Body text one.</p>"
+        b"<p>Body text two.</p></article><footer>f</footer></body></html>",
+        "text/html",
+    ),
+    "main_container": (
+        b"<html><body><header>h</header><main><h2>Sub</h2>"
+        b"<p>Alpha beta gamma.</p><ul><li>one</li><li>two</li></ul></main></body></html>",
+        "text/html",
+    ),
+    "role_main": (
+        b'<html><body><aside>side</aside><div role="main"><p>Centered.</p></div></body></html>',
+        "text/html",
+    ),
+    "class_content": (
+        b'<html><body><div class="content"><h1>C</h1><p>Classy text.</p></div></body></html>',
+        "text/html",
+    ),
+    "class_post_content": (
+        b'<html><body><div class="post-content"><p>Post body here with some longer '
+        b"content to extract properly.</p></div></body></html>",
+        "text/html",
+    ),
+    "body_fallback": (
+        b"<html><body><h1>Plain</h1><p>No container at all.</p></body></html>",
+        "text/html",
+    ),
+    "react_shell": (
+        b'<html><head><title>app</title></head><body><div id="root"></div>'
+        b'<script src="/static/js/bundle.js"></script></body></html>',
+        "text/html",
+    ),
+    "vue_shell": (
+        b'<html><body><div id="app"><!-- vue --></div><script src="/app.js"></script></body></html>',
+        "text/html",
+    ),
+    "js_required": (
+        b"<html><body><p>Please enable JavaScript to continue using this site. "
+        b"More words to cross the body threshold for detection paths here.</p></body></html>",
+        "text/html",
+    ),
+    "error_page": (
+        b'<html><body><div class="error"><h1>404</h1><p>Not found page text that is '
+        b"long enough to pass the minimum body threshold for the fallback detector "
+        b"branch in the engine.</p></div></body></html>",
+        "text/html",
+    ),
+    "static_complete": (
+        b'<html><head><meta property="og:title" content="t"/>'
+        b'<meta property="og:description" content="d"/></head>'
+        b"<body><article><h1>Full</h1>" + b"<p>Sentence with several words here.</p>" * 30
+        + b"</article></body></html>",
+        "text/html",
+    ),
+    "markdown_rich": (
+        b"<html><body><article><h1>Doc</h1><h2>Part</h2>"
+        b'<p>See <a href="https://example.com/x">the link</a> and <strong>bold</strong> '
+        b"plus <em>italic</em> and <code>inline()</code>.</p>"
+        b'<pre><code class="language-python">print(1)</code></pre>'
+        b"<ol><li>first</li><li>second</li></ol>"
+        b"<ul><li>bullet</li></ul><blockquote>quoted words</blockquote>"
+        b"</article></body></html>",
+        "text/html",
+    ),
+    "empty_page": (b"<html><body></body></html>", "text/html"),
+    "whitespace_only": (b"<html><body><p>   </p><div> \n </div></body></html>", "text/html"),
+    "malformed": (b"<html><body><div>Unclosed<p>Broken<span>bits</html>", "text/html"),
+    "not_html": (b"plain text payload, no tags at all", "text/plain"),
+    "json_payload": (b'{"k": [1, 2, 3]}', "application/json"),
+    "latin1_bytes": ("caf\xe9 bytes".encode("latin-1"), "text/html"),
+    "unicode_page": (
+        "<html><body><article><p>Héllo 世界 🌍 — dash…</p></article></body></html>".encode(),
+        "text/html",
+    ),
+    "nested_deep": (
+        b"<html><body>" + b"<div>" * 40 + b"<p>deep</p>" + b"</div>" * 40 + b"</body></html>",
+        "text/html",
+    ),
+    "table_page": (
+        b"<html><body><table><tr><th>A</th><th>B</th></tr>"
+        b"<tr><td>1</td><td>2</td></tr></table></body></html>",
+        "text/html",
+    ),
+    "entities": (
+        b"<html><body><p>Fish &amp; chips &lt;now&gt; &#8212; ok</p></body></html>",
+        "text/html",
+    ),
+}
