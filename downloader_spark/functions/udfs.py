@@ -17,6 +17,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     IntegerType,
     StringType,
@@ -37,6 +38,10 @@ EXTRACT_SCHEMA = StructType(
         StructField("needs_render", BooleanType()),
         StructField("needs_js_render", BooleanType()),
     ]
+)
+
+CRAWL_EXTRACT_SCHEMA = StructType(
+    EXTRACT_SCHEMA.fields + [StructField("links", ArrayType(StringType()))]
 )
 
 CANON_SCHEMA = StructType(
@@ -75,6 +80,36 @@ def extract_udf(
             )
         )
     return pd.DataFrame(rows, columns=_EXTRACT_COLS)
+
+
+_CRAWL_COLS = [f.name for f in CRAWL_EXTRACT_SCHEMA.fields]
+
+
+@pandas_udf(CRAWL_EXTRACT_SCHEMA)
+def crawl_extract_udf(
+    url: pd.Series, html: pd.Series, content_type: pd.Series
+) -> pd.DataFrame:
+    """extract_udf + out-link discovery (one parse per page)."""
+    rows = []
+    for u, h, ct in zip(url, html, content_type):
+        if h is None:
+            rows.append(("", "", 0, False, False, False, False, []))
+            continue
+        r = extract_page(bytes(h), ct or "", u or "", with_links=True)
+        f = r.flags
+        rows.append(
+            (
+                r.text,
+                r.markdown,
+                f.body_text_len,
+                f.has_content_container,
+                f.is_error_page,
+                f.needs_render,
+                f.needs_js_render,
+                list(r.links),
+            )
+        )
+    return pd.DataFrame(rows, columns=_CRAWL_COLS)
 
 
 @pandas_udf(CANON_SCHEMA)

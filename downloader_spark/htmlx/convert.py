@@ -112,32 +112,75 @@ def convert_content(content: bytes, content_type: str, output_format: str = "tex
 
 @dataclass(frozen=True)
 class ExtractResult:
-    """One page's conversion outputs + detection flags."""
+    """One page's conversion outputs + detection flags + out-links."""
 
     text: str
     markdown: str
     flags: "DetectionFlags"
+    links: tuple[str, ...] = ()
 
 
-def extract_page(content: bytes, content_type: str, url: str = "") -> ExtractResult:
-    """Text + markdown + detection flags with a single strip/cascade pass.
+MAX_LINKS_PER_PAGE = 64
 
-    Byte-identical to calling ``convert_content(content, ct, "text")`` and
-    ``convert_content(content, ct, "markdown")`` separately (pinned by
-    tests/test_htmlx_convert.py) — the stripped tree is read-only for both
-    conversions, so one parse serves both. Detection (D1/D2) needs the
-    UN-stripped tree, hence its own parse of the raw bytes.
+
+def _collect_links(root: Element, base_url: str, cap: int = MAX_LINKS_PER_PAGE) -> tuple[str, ...]:
+    """Absolute http(s) out-links in document order, deduped
+    order-preserving (the crawl rebuild's link discovery; the reference
+    has no crawler loop — discovery is new surface per the north rule)."""
+    from urllib.parse import urljoin
+
+    seen: set[str] = set()
+    out: list[str] = []
+    for a in root.find_all("a"):
+        href = a.get("href")
+        if not href:
+            continue
+        href = href.strip()
+        if href.startswith(("#", "javascript:", "mailto:")):
+            continue
+        try:
+            absolute = urljoin(base_url, href)
+        except ValueError:
+            continue
+        if not absolute.startswith(("http://", "https://")):
+            continue
+        if absolute not in seen:
+            seen.add(absolute)
+            out.append(absolute)
+            if len(out) >= cap:
+                break
+    return tuple(out)
+
+
+def extract_page(
+    content: bytes, content_type: str, url: str = "", with_links: bool = False
+) -> ExtractResult:
+    """Text + markdown + detection flags (+ out-links) in ONE parse.
+
+    Byte-identical to calling ``convert_content(content, ct, "text")``
+    and ``..."markdown")`` separately (pinned by
+    tests/test_extract_parity.py): detection and link discovery read the
+    tree BEFORE the conversion decompose mutates it, and conversion then
+    proceeds exactly as ``_convert_html_to_format``.
     """
-    flags = detect_render_flags(url, content, content_type)
     try:
         text_in = content.decode("utf-8", errors="ignore")
     except Exception:  # pragma: no cover - decode with ignore never raises
         decoded = content.decode("utf-8", errors="replace")
-        return ExtractResult(decoded, decoded, flags)
-    if "html" not in content_type.lower():
-        return ExtractResult(text_in, text_in, flags)
+        return ExtractResult(decoded, decoded, _NON_HTML_FLAGS)
 
-    root = parse_html(text_in)
+    if "html" not in content_type.lower():
+        return ExtractResult(text_in, text_in, _NON_HTML_FLAGS)
+
+    try:
+        root = parse_html(text_in)
+    except Exception:
+        flags = DetectionFlags(0, False, False, True, False)
+        return ExtractResult("", "", flags)
+
+    flags = _detect_from_root(root, url, len(content))
+    links = _collect_links(root, url) if with_links else ()
+
     root.decompose_all(CONVERT_STRIP)
     main = _extract_main_for_convert(root)
 
@@ -146,7 +189,7 @@ def extract_page(content: bytes, content_type: str, url: str = "") -> ExtractRes
     if not markdown.strip():
         fallback = main.get_text(separator="\n", strip=True)
         markdown = re.sub(r"\n\s*\n+", "\n\n", fallback).strip()
-    return ExtractResult(text, markdown, flags)
+    return ExtractResult(text, markdown, flags, links)
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +232,9 @@ def _has_js_framework_markers(root: Element, body_text: str) -> bool:
     return has_marker and len(body_text) < MIN_JS_FRAMEWORK_CONTENT_THRESHOLD
 
 
+_NON_HTML_FLAGS = None  # set after DetectionFlags defined below
+
+
 def detect_render_flags(url: str, content: bytes, content_type: str) -> DetectionFlags:
     """Compute D1+D2 in one parse (content_converter.py:83-285, cache-free)."""
     if "html" not in content_type.lower():
@@ -200,6 +246,10 @@ def detect_render_flags(url: str, content: bytes, content_type: str) -> Detectio
         # D1 defaults True on parse failure (:136-138); D2 defaults False (:283-285)
         return DetectionFlags(0, False, False, True, False)
 
+    return _detect_from_root(root, url, len(content))
+
+
+def _detect_from_root(root: Element, url: str, content_len: int) -> DetectionFlags:
     body = root.find("body")
     body_text = body.get_text(strip=True) if body is not None else ""
 
@@ -227,7 +277,7 @@ def detect_render_flags(url: str, content: bytes, content_type: str) -> Detectio
         needs_js = False
     elif _has_js_framework_markers(root, body_text):
         needs_js = True
-    elif len(content) < SMALL_CONTENT_SIZE and _has_missing_metadata(root):
+    elif content_len < SMALL_CONTENT_SIZE and _has_missing_metadata(root):
         needs_js = True
     elif any(d in url for d in JS_HEAVY_DOMAINS):
         needs_js = True
@@ -241,3 +291,6 @@ def detect_render_flags(url: str, content: bytes, content_type: str) -> Detectio
         needs_render=needs_render,
         needs_js_render=needs_js,
     )
+
+
+_NON_HTML_FLAGS = DetectionFlags(0, False, False, False, False)

@@ -1,0 +1,48 @@
+"""Engine configuration (reference config.py analogs, SURVEY §2.9)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """All values deterministic — the simulator consumes the same object.
+
+    - max_attempts/retry semantics: reference scheduler/executor.py:29-30
+      (3 attempts; delays become wave re-enqueues, not sleeps — T3).
+    - politeness: per-host token budget per wave derived from robots
+      Crawl-delay (reference documents the spec in
+      docs/features/downloader-core.md:39-50; rate-limit tiers
+      config.py:453-506 are the service-side analog).
+    - score/priority: seed of reference RequestPriority
+      (http_client.py:34-39) extended to (score desc, depth, url).
+    """
+
+    wave_seconds: int = 30  # politeness budget window per wave
+    default_crawl_delay: int = 1  # hosts without robots Crawl-delay
+    max_per_host_per_wave: int = 30  # cap even for delay-0 hosts
+    max_attempts: int = 3  # executor.py:29-30
+    max_depth: int = 3  # frontier expansion bound
+    score_base: int = 100
+    score_decay: int = 10  # score = max(0, base - decay*depth)
+    max_links_per_page: int = 64
+    salt_buckets: int = 8  # two-phase top-k salt for hot hosts
+    num_host_buckets: int = 64  # frontier partitioning pmod(xxhash64(host), P)
+    bloom_bits_per_bucket: int = 1 << 17  # 16 KiB per bucket
+    bloom_num_hashes: int = 5
+    bloom_num_buckets: int = 16
+    use_bloom: bool = True
+    snapshot_keep_last: int = 1000  # TTL analog (T8)
+
+    def score_for_depth(self, depth: int) -> int:
+        return max(0, self.score_base - self.score_decay * depth)
+
+    def budget_for_delay(self, crawl_delay: int | None) -> int:
+        """URLs per host per wave. delay=0 → cap; delay>wave → still 1
+        (a wave at 10^10 scale lasts ≥ any sane crawl-delay; guarantees
+        progress and keeps the plan deterministic)."""
+        d = self.default_crawl_delay if crawl_delay is None else crawl_delay
+        if d <= 0:
+            return self.max_per_host_per_wave
+        return max(1, min(self.max_per_host_per_wave, self.wave_seconds // d))

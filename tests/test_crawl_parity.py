@@ -1,0 +1,146 @@
+"""North-rule parity gate: Spark crawl engine ≡ single-node simulator.
+
+Same seed list + politeness budget ⇒ identical crawl ordering
+(wave, host, rank, url), URL-seen set, final statuses, and
+byte-identical extracted text per url (BASELINE.json).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from downloader_spark.crawl.simulator import simulate_crawl
+from downloader_spark.plans.crawlconfig import CrawlConfig
+from downloader_spark.plans.wave import CrawlEngine
+from downloader_spark.sources.pagegen import generate_web_graph
+
+CFG = CrawlConfig(
+    wave_seconds=10,
+    max_per_host_per_wave=5,
+    max_depth=2,
+    salt_buckets=4,
+    bloom_num_buckets=4,
+    bloom_bits_per_bucket=1 << 14,
+)
+N_WAVES = 4
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    pages_df = generate_web_graph(spark, n_hosts=8, pages_per_host=12, seed=11)
+    rows = pages_df.collect()
+    pages = {r["url"]: (bytes(r["html"]), r["content_type"]) for r in rows}
+    seeds = sorted(pages)[:6] + [
+        "http://site0000.example/p/0",
+        "http://missing-host.example/nope",  # never fetchable → retry → failed
+        "file:///etc/passwd",  # invalid seed
+    ]
+    return pages_df, pages, seeds
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, web, tmp_path_factory):
+    pages_df, pages, seeds = web
+    wh_dir = str(tmp_path_factory.mktemp("warehouse"))
+    eng = CrawlEngine(spark, wh_dir, pages_df, CFG)
+    eng.init(seeds)
+    metrics = eng.run(max_waves=N_WAVES)
+    return eng, metrics
+
+
+@pytest.fixture(scope="module")
+def sim_run(web):
+    _, pages, seeds = web
+    return simulate_crawl(pages, seeds, CFG, max_waves=N_WAVES)
+
+
+def test_wave_metrics_match(engine_run, sim_run):
+    _, metrics = engine_run
+    assert len(metrics) == len(sim_run.wave_counts)
+    for m, s in zip(metrics, sim_run.wave_counts):
+        for key in (
+            "n_frontier_in",
+            "n_unseen",
+            "n_denied",
+            "n_ok",
+            "n_missing_retry",
+            "n_failed",
+            "n_discovered",
+            "n_frontier_out",
+            "n_seen_out",
+        ):
+            assert getattr(m, key) == s[key], f"wave {m.wave}: {key}"
+
+
+def test_crawl_ordering_identical(spark, engine_run, sim_run):
+    eng, _ = engine_run
+    res = eng.all_results()
+    got = {
+        (r["wave"], r["host"], r["rank"], r["url"])
+        for r in res.filter(F.col("rank").isNotNull()).collect()
+    }
+    assert got == set(sim_run.schedule)
+
+
+def test_seen_set_identical(spark, engine_run, sim_run):
+    eng, _ = engine_run
+    seen = {r["url"] for r in eng.wh.read(spark, "seen").collect()}
+    assert seen == sim_run.seen
+
+
+def test_final_statuses_identical(spark, engine_run, sim_run):
+    eng, _ = engine_run
+    rows = eng.all_results().collect()
+    final = {}
+    for r in sorted(rows, key=lambda r: r["wave"]):
+        final[r["url"]] = r["status"]
+    sim_final = {
+        u: s for u, s in sim_run.statuses.items() if s != "invalid"
+    }
+    # engine records invalid seeds under the RAW url; compare separately
+    assert {u: s for u, s in final.items() if s != "invalid"} == sim_final
+    assert any(s == "invalid" for s in final.values()) == any(
+        s == "invalid" for s in sim_run.statuses.values()
+    )
+
+
+def test_extracted_text_byte_identical(spark, engine_run, sim_run):
+    eng, _ = engine_run
+    rows = eng.all_results().filter("status = 'ok'").select("url", "text").collect()
+    assert len(rows) == len(sim_run.texts)
+    for r in rows:
+        assert r["text"] == sim_run.texts[r["url"]], r["url"]
+
+
+def test_resume_from_snapshot(spark, web, tmp_path_factory):
+    """Kill after wave k, resume, final state identical to a straight run."""
+    pages_df, pages, seeds = web
+    d1 = str(tmp_path_factory.mktemp("wh_straight"))
+    d2 = str(tmp_path_factory.mktemp("wh_resumed"))
+
+    e1 = CrawlEngine(spark, d1, pages_df, CFG)
+    e1.init(seeds)
+    e1.run(max_waves=3)
+
+    e2 = CrawlEngine(spark, d2, pages_df, CFG)
+    e2.init(seeds)
+    e2.run(max_waves=2)
+    # "restart": fresh engine object over the same warehouse
+    e3 = CrawlEngine(spark, d2, pages_df, CFG)
+    assert e3.next_wave == 3
+    e3.run(max_waves=1)
+
+    seen1 = {r["url"] for r in e1.wh.read(spark, "seen").collect()}
+    seen2 = {r["url"] for r in e3.wh.read(spark, "seen").collect()}
+    assert seen1 == seen2
+    f1 = {tuple(r) for r in e1.wh.read(spark, "frontier").collect()}
+    f2 = {tuple(r) for r in e3.wh.read(spark, "frontier").collect()}
+    assert f1 == f2
+    s1 = {
+        (r["wave"], r["rank"], r["url"])
+        for r in e1.all_results().filter(F.col("rank").isNotNull()).collect()
+    }
+    s2 = {
+        (r["wave"], r["rank"], r["url"])
+        for r in e3.all_results().filter(F.col("rank").isNotNull()).collect()
+    }
+    assert s1 == s2
