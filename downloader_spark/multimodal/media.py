@@ -1,0 +1,143 @@
+"""Multimodal payloads as opaque binary columns + typed metadata.
+
+Image/audio/video bytes are carried as ``binary`` columns with a fixed
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched functions over ``mapInPandas``. The actual codec step
+is STUBBED (no image/audio libraries in this container): decode raises
+``NotImplementedError`` unless ``deterministic_fake=True``, in which
+case a seeded byte-statistics "decode" stands in — the Spark-side
+plumbing (schema, batch shape, partitioning) is real and tested either
+way.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("n_bytes", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("byte_entropy", DoubleType()),
+        StructField("histogram", ArrayType(LongType())),  # 16 coarse bins
+    ]
+)
+
+
+def decode_image_stub(payload: bytes, deterministic_fake: bool = False):
+    """Codec boundary. Real decode needs PIL/libjpeg — unavailable here.
+
+    With ``deterministic_fake`` the function returns byte-statistics
+    pseudo-pixels so downstream plumbing can be exercised end-to-end.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decode requires an image library not present in this "
+            "runtime; pass deterministic_fake=True for plumbing tests"
+        )
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    side = max(1, int(len(arr) ** 0.5))
+    return arr[: side * side].reshape(side, side)
+
+
+def media_features_udf(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched byte-level features (no codec needed): size, mean,
+    entropy, 16-bin histogram. The real decode would slot into the same
+    mapInPandas body."""
+    import math
+
+    import numpy as np
+
+    passthrough = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(passthrough + list(FEATURES_SCHEMA.fields))
+    keep = [f.name for f in passthrough]
+
+    def gen(batches):
+        for pdf in batches:
+            feats = {"n_bytes": [], "byte_mean": [], "byte_entropy": [], "histogram": []}
+            for blob in pdf[payload_col]:
+                arr = np.frombuffer(bytes(blob) if blob is not None else b"", dtype=np.uint8)
+                n = len(arr)
+                feats["n_bytes"].append(n)
+                feats["byte_mean"].append(round(float(arr.mean()), 6) if n else 0.0)
+                hist = np.bincount(arr >> 4, minlength=16).astype("int64") if n else np.zeros(16, "int64")
+                p = hist / max(n, 1)
+                ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum()) if n else 0.0
+                feats["byte_entropy"].append(round(ent, 6))
+                feats["histogram"].append(hist.tolist())
+            out = pdf[keep].copy()
+            for k, v in feats.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def sample_frames_plan(
+    df: DataFrame,
+    every_ms: int = 1000,
+    duration_col: str = "meta.duration_ms",
+) -> DataFrame:
+    """Frame-sampling PLAN: one row per sampled timestamp (the decode of
+    each frame is the stubbed codec step). Native explode of a sequence
+    — demonstrates the row-explosion shape video processing needs."""
+    return df.withColumn(
+        "frame_ts_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col(duration_col) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ),
+    )
+
+
+def synth_media_from_embeddings(spark, sf_dir: str) -> DataFrame:
+    """Deterministic fake media rows derived from the embeddings table:
+    payload = float bytes of the vector; metadata typed per vec_id."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mtype = (
+        F.when(F.col("vec_id") % 3 == 0, "image")
+        .when(F.col("vec_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    meta = F.struct(
+        mtype.alias("media_type"),
+        F.lit("fake").alias("codec"),
+        (F.col("vec_id") % 640 + 16).cast("int").alias("width"),
+        (F.col("vec_id") % 480 + 16).cast("int").alias("height"),
+        (F.col("vec_id") % 9000 + 1000).cast("long").alias("duration_ms"),
+    )
+    payload = F.encode(
+        F.concat_ws(",", F.transform("embedding", lambda x: x.cast("string"))),
+        "UTF-8",
+    )
+    return emb.select(
+        F.col("vec_id").alias("media_id"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )

@@ -57,18 +57,33 @@ def shingles(text: Column, k: int = 5) -> Column:
     )).otherwise(F.array(F.trim(_normalized_text(text))))
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
-    """num_hashes MinHash values via seeded xxhash64 — fully native:
-    per permutation i, min over shingles of xxhash64(shingle, i).
-    (Standard MinHash construction; hash-seed family instead of linear
-    permutations — same collision analysis, zero UDF cost.)"""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(_id, _sig array<long>) MinHash signatures.
+
+    Explode-then-hash-aggregate form: shingles exploded ONCE, the
+    num_hashes per-permutation minima computed as plain MIN aggregates
+    (map-side partial agg; tiny codegen). The hash family is
+    ``xxhash64(shingle, i)`` (Spark's multi-arg chained xxhash64) —
+    standard MinHash analysis applies, zero Python cost. The nested
+    higher-order-function formulation (array_min∘transform per
+    permutation) type-checks but compiles to a pathological expression
+    tree (>1 MiB codegen for 64 hashes) — measured 30-60s on 500 docs;
+    this form is <2s."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text, shingle_k)).alias("_g"),
+    )
+    mins = [
+        F.min(F.xxhash64("_g", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+    ]
+    return grams.groupBy("_id").agg(*mins).select(
+        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
     )
 
 
@@ -91,10 +106,7 @@ def minhash_lsh_pairs(
     (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(shingles(text, shingle_k), num_hashes).alias("_sig"),
-    )
+    sig = minhash_signatures(df, id_col, text, num_hashes, shingle_k)
     banded = sig.select(
         "_id",
         "_sig",
@@ -154,26 +166,34 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: Column, shingle_k: int = 2) -> Column:
-    """64-bit SimHash over word shingles — native bit arithmetic:
-    per bit position, sign of sum over tokens of (bit ? +1 : −1)."""
-    toks = shingles(text, shingle_k)
-    hashes = F.transform(toks, lambda s: F.xxhash64(s))
-    bits = []
+def simhash64(
+    df: DataFrame, id_col: str, text: Column, shingle_k: int = 2
+) -> DataFrame:
+    """(_id, _sh long) 64-bit SimHash over word shingles.
+
+    Same explode-then-aggregate shape as minhash_signatures: per bit
+    position, SUM over token hashes of (bit ? +1 : −1) as 64 plain SUM
+    aggregates, then one projection assembles the sign bits."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text, shingle_k)).alias("_g"),
+    ).select("_id", F.xxhash64("_g").alias("_h"))
+    sums = [
+        F.sum(
+            (F.shiftright("_h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = grams.groupBy("_id").agg(*sums)
+    out = F.lit(0).cast("long")
     for i in range(64):
-        # sum of (2*bit−1) over token hashes at position i
-        contrib = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        bit = (
+            F.when(F.col(f"_b{i}") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
         )
-        bit = F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bits.append(F.shiftleft(bit, i))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+        out = out.bitwiseOR(F.shiftleft(bit, i))
+    return agg.select("_id", out.alias("_sh"))
 
 
 def simhash_near_dups(
@@ -186,7 +206,7 @@ def simhash_near_dups(
     (pigeonhole). Shuffle once on (block_idx, block_value); verify
     Hamming within buckets via bit_count(xor).
     """
-    sh = df.select(F.col(id_col).alias("_id"), simhash64(text).alias("_sh"))
+    sh = simhash64(df, id_col, text)
     blocks = sh.select(
         "_id",
         "_sh",
@@ -237,13 +257,28 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over word k-grams for candidate pairs that share at
     least one k-gram (inverted-index join on the gram — no cross join).
-    Intended for within-bucket verification at scale; exact over the
-    whole input at test scale."""
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(text, k)).alias("gram"),
-        F.size(shingles(text, k)).alias("n_grams"),
+
+    Scale guards: grams hashed to longs before the join (no string
+    shuffle); stop-grams (doc-frequency > max_df) dropped — they only
+    produce quadratic hot buckets and their Jaccard contribution is
+    recovered by the n_a+n_b−common denominator staying exact ONLY for
+    retained grams, so max_df is a recall/cost knob, documented here.
+    """
+    max_df = 1000
+    base = df.select(F.col(id_col).alias("_id"), shingles(text, k).alias("_gs"))
+    grams = base.select(
+        "_id",
+        F.size("_gs").alias("n_grams"),
+        F.explode("_gs").alias("_g"),
+    ).select("_id", "n_grams", F.xxhash64("_g").alias("gram"))
+    grams = grams.persist()
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("gram")
     )
+    grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     l, r = grams.alias("l"), grams.alias("r")
     inter = (
         l.join(r, on=[F.col("l.gram") == F.col("r.gram"), F.col("l._id") < F.col("r._id")])

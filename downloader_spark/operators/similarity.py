@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products computed NATIVELY (zip_with + aggregate higher-order
+  functions, JVM-side); the queries side is broadcast so the scan of
+  the candidate table is the only big input (no shuffle of candidates).
+- ``lsh_topk``: the scale path — random-hyperplane LSH buckets
+  candidates; only same-bucket (or neighboring-band) pairs are scored.
+  At 100 TB the bucket join replaces the broadcast nested loop: shuffle
+  on the bucket key, score within buckets.
+
+Hyperplanes are derived deterministically from xxhash64(vec_id-free
+seeds) so results are reproducible without RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries: (query_id, embedding). Broadcast the (small) query set
+    against the (huge) candidate scan; per-query top-k via window rank
+    on (sim desc, cand_id) — deterministic ties.
+    """
+    cand = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+    )
+    qry = queries.select(
+        F.col("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = cand.crossJoin(F.broadcast(qry)).filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("cvec"), F.col("qvec")) / (
+        _norm(F.col("cvec")) * _norm(F.col("qvec"))
+    )
+    scored = scored.select(
+        "query_id", "cand_id", F.round(sim, round_to).alias("cosine")
+    )
+    from .topk import per_key_topk
+
+    return per_key_topk(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("cand_id")],
+        k=k,
+    ).select("query_id", "cand_id", "cosine", "rnk")
+
+
+def hyperplane_signature(
+    vec, dim: int, n_planes: int = 16, seed: int = 42
+):
+    """Sign-of-projection bit signature against deterministic
+    pseudo-random hyperplanes. Plane weights come from a hash grid:
+    w[p][i] = (xxhash64(seed:p:i) / 2^63) ∈ [-1, 1) — native, no RNG."""
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x.cast("double")
+                * (
+                    F.xxhash64(F.concat_ws(":", F.lit(seed), F.lit(p), i)).cast("double")
+                    / F.lit(float(2**63))
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bits.append(F.shiftleft(bit, p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 12,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates bucketed by hyperplane signature;
+    each query probes its own bucket only. Recall < 1 by design; the
+    trade is one bucket-key shuffle instead of a full scan per query."""
+    sig_c = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("sig"),
+    )
+    sig_q = queries.select(
+        "query_id",
+        F.col(vec_col).alias("qvec"),
+        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("sig"),
+    )
+    paired = sig_c.join(sig_q, "sig").filter(F.col("cand_id") != F.col("query_id"))
+    sim = _dot(F.col("cvec"), F.col("qvec")) / (
+        _norm(F.col("cvec")) * _norm(F.col("qvec"))
+    )
+    scored = paired.select(
+        "query_id", "cand_id", F.round(sim, round_to).alias("cosine")
+    )
+    from .topk import per_key_topk
+
+    return per_key_topk(
+        scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k=k
+    ).select("query_id", "cand_id", "cosine", "rnk")

@@ -484,3 +484,351 @@ def q_url_canonicalize(spark, sf_dir):
     return df.withColumn("c", canonicalize_udf("url")).select(
         "doc_id", "url", "c.url_canonical", "c.host", "c.valid", "c.reason"
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@_q(
+    "embedding_knn",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id % 100 = 0
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             ROUND(
+               list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_embedding_knn(spark, sf_dir):
+    """Brute-force exact ANN baseline (broadcast queries × candidate
+    scan; native higher-order-function dot products)."""
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries_df, k=5)
+
+
+@_q("embedding_knn_lsh")
+def q_embedding_knn_lsh(spark, sf_dir):
+    """LSH-bucketed approximate variant (the 100 TB scale path)."""
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries_df, dim=dim, k=5, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup family (rows-only: xxhash64-based, no DuckDB equivalent)
+# ---------------------------------------------------------------------------
+
+@_q("minhash_near_dups")
+def q_minhash_near_dups(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", F.col("text"), num_hashes=32, bands=8,
+        shingle_k=3, jaccard_threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+@_q("simhash_near_dups")
+def q_simhash_near_dups(spark, sf_dir):
+    from .operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "doc_id", F.col("text"), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@_q("ngram_jaccard_dups")
+def q_ngram_jaccard_dups(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", F.col("text"), k=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (native column functions)
+# ---------------------------------------------------------------------------
+
+from .functions.text import LANG_MARKERS as _LANG_MARKERS
+
+_LANG_SQL_SCORES = ", ".join(
+    "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+    f"x -> x IN ({', '.join(repr(m) for m in sorted(set(_LANG_MARKERS[lang])))}))) AS s_{lang}"
+    for lang in ["de", "en", "es", "fr"]
+)
+
+
+@_q(
+    "detect_lang_counts",
+    f"""
+    WITH scores AS (
+      SELECT doc_id, {_LANG_SQL_SCORES} FROM documents
+    ), best AS (
+      SELECT doc_id,
+             GREATEST(s_de, s_en, s_es, s_fr) AS m,
+             CASE
+               WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+               WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+               WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+               WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+               ELSE 'fr' END AS detected
+      FROM scores
+    )
+    SELECT detected, CAST(COUNT(*) AS BIGINT) AS n
+    FROM best GROUP BY detected ORDER BY detected
+    """,
+)
+def q_detect_lang_counts(spark, sf_dir):
+    from .functions.text import detect_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(detect_lang(F.col("text")).alias("detected"))
+        .groupBy("detected")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("detected")
+    )
+
+
+@_q(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           CAST(CEIL(
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) * 0.4
+             + (length(text) / 4.0) * 0.6) AS BIGINT) AS est_subwords
+    FROM documents
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    from .functions.text import subword_estimate, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        subword_estimate(F.col("text")).alias("est_subwords"),
+    )
+
+
+@_q("doc_fingerprints")
+def q_doc_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprints (xxhash64 — rows-only)."""
+    from .functions.text import fingerprint64, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint64(F.col("text")).alias("fingerprint"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / date / json / array-map scalar surface
+# ---------------------------------------------------------------------------
+
+@_q(
+    "frontier_setops",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id FROM documents WHERE lang = 'en'
+      UNION
+      SELECT doc_id FROM documents WHERE source = 'src1'
+    )
+    EXCEPT
+    SELECT doc_id FROM documents WHERE n_chars < 50
+    """,
+)
+def q_frontier_setops(spark, sf_dir):
+    """Frontier merge/remove semantics: union + except (SURVEY §2.8)."""
+    docs = _t(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    src1 = docs.filter(F.col("source") == "src1").select("doc_id")
+    small = docs.filter(F.col("n_chars") < 50).select("doc_id")
+    return en.union(src1).distinct().exceptAll(small.distinct())
+
+
+@_q(
+    "event_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+)
+def q_event_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@_q(
+    "windowed_counts",
+    """
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def q_windowed_counts(spark, sf_dir):
+    """Tumbling-window agg — same function the streaming path uses
+    (streaming/events.windowed_event_counts), run on a bounded input."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@_q(
+    "json_envelope",
+    """
+    SELECT doc_id,
+           to_json(struct_pack(success := TRUE, doc_id := doc_id,
+                               size := n_chars, lang := lang)) AS envelope,
+           to_base64(encode(substr(text, 1, 32))) AS content_b64
+    FROM documents
+    """,
+)
+def q_json_envelope(spark, sf_dir):
+    """C6 JSON+base64 envelope (content_processor.py:187-207) — fully
+    native to_json(struct)+base64."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.lit(True).alias("success"),
+                F.col("doc_id").alias("doc_id"),
+                F.col("n_chars").alias("size"),
+                F.col("lang").alias("lang"),
+            )
+        ).alias("envelope"),
+        F.base64(F.encode(F.substring("text", 1, 32), "UTF-8")).alias("content_b64"),
+    )
+
+
+@_q(
+    "multi_accept",
+    """
+    WITH hdr AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'text/html, application/json;q=0.9, text/html'
+               WHEN 1 THEN 'text/markdown;q=0.8, text/plain, text/markdown'
+               WHEN 2 THEN 'application/pdf, */*;q=0.1'
+               ELSE 'application/json' END AS accept
+      FROM documents
+    ), exploded AS (
+      SELECT doc_id, u.pos, u.mime FROM (
+        SELECT doc_id,
+               unnest(list_transform(regexp_split_to_array(accept, ','),
+                      (x, i) -> struct_pack(
+                        pos := i,
+                        mime := trim(regexp_replace(x, ';.*$', ''))))) AS u
+        FROM hdr
+      )
+    ), first_pos AS (
+      SELECT doc_id, mime, MIN(pos) AS pos FROM exploded GROUP BY doc_id, mime
+    )
+    SELECT doc_id, mime,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS ord
+    FROM first_pos
+    """,
+)
+def q_multi_accept(spark, sf_dir):
+    """P5 multi-accept parse: split, strip ;q params, dedupe preserving
+    first-occurrence order (content_processor.py:81-140)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    accept = (
+        F.when(m == 0, "text/html, application/json;q=0.9, text/html")
+        .when(m == 1, "text/markdown;q=0.8, text/plain, text/markdown")
+        .when(m == 2, "application/pdf, */*;q=0.1")
+        .otherwise("application/json")
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(F.split(accept, ",")).alias("pos0", "raw")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.trim(F.regexp_replace("raw", r";.*$", "")).alias("mime"),
+    )
+    first_pos = exploded.groupBy("doc_id", "mime").agg(F.min("pos").alias("pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return first_pos.select(
+        "doc_id", "mime", F.row_number().over(w).cast("long").alias("ord")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only; codec stubbed per environment)
+# ---------------------------------------------------------------------------
+
+@_q("media_features")
+def q_media_features(spark, sf_dir):
+    from .multimodal import media_features_udf, synth_media_from_embeddings
+
+    media = synth_media_from_embeddings(spark, sf_dir)
+    return media_features_udf(media).select(
+        "media_id", F.col("meta.media_type").alias("media_type"),
+        "n_bytes", "byte_mean", "byte_entropy",
+    )

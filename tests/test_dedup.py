@@ -1,0 +1,94 @@
+"""Semantic tests for the dedup family: planted duplicates must be
+found; unrelated texts must not pair."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from downloader_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the crawl engine "
+    "fetches pages and converts them to markdown with vectorized arrow "
+    "udfs across many partitions of the frontier table and the scheduler "
+    "assigns politeness budgets per host before each wave commits a new "
+    "snapshot of results seen frontier and metrics tables for resume"
+)
+BASE = BASE + " " + BASE.replace("quick", "rapid")  # ~110 words, stable simhash
+NEAR = BASE.replace("lazy dog", "sleepy dog", 1)  # 1-word edit
+FAR = (
+    "completely different content about databases query optimizers join "
+    "ordering statistics cardinality estimation and cost models in "
+    "distributed analytical engines with columnar storage formats"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, NEAR),  # near dup of 1
+        (4, FAR),
+        (5, "tiny"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(docs):
+    groups = {r["keeper"]: r["n_dups"] for r in exact_dup_groups(docs, "doc_id", F.col("text")).collect()}
+    assert groups[1] == 2  # docs 1+2 identical
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_signature_properties(docs):
+    sigs = {r["_id"]: r["_sig"] for r in minhash_signatures(docs, "doc_id", F.col("text"), num_hashes=32, shingle_k=3).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    match_near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    match_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert match_near > match_far  # near-dup shares more components
+    assert match_near >= 16  # high estimated jaccard
+
+
+def test_minhash_lsh_finds_planted_pair(docs):
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", F.col("text"), num_hashes=32, bands=8, shingle_k=3,
+        jaccard_threshold=0.5,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) in found or (2, 3) in found
+    assert not any(4 in p for p in found)
+    exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (1, 2)]
+    assert exact[0]["est_jaccard"] == 1.0
+
+
+def test_simhash_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(docs, "doc_id", F.col("text"), max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0  # identical
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3  # near-dup found
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", F.col("text"), k=3, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # pure-Python exact jaccard oracle for the near pair
+    def grams(t, k=3):
+        import re
+        w = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    g1, g3 = grams(BASE), grams(NEAR)
+    expected = round(len(g1 & g3) / len(g1 | g3), 6)
+    assert pairs[(1, 3)] == expected
+    assert (1, 4) not in pairs

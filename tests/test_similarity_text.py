@@ -1,0 +1,105 @@
+"""Similarity search vs numpy oracle + text-analysis function semantics."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from downloader_spark.functions.text import (
+    detect_lang,
+    fingerprint64,
+    quality_score,
+    subword_estimate,
+    token_count,
+)
+from downloader_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(7)
+    data = rng.randn(60, 8).astype("float32")
+    data[10] = data[0] * 2.0  # same direction as 0 → cosine 1
+    data[11] = data[0] + rng.randn(8).astype("float32") * 0.05  # near
+    rows = [(i, [float(x) for x in data[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, data
+
+
+def test_cosine_topk_matches_numpy(vecs):
+    df, data = vecs
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(df, queries, k=5).collect()
+    d = data.astype("float64")
+    sims = d @ d[0] / (np.linalg.norm(d, axis=1) * np.linalg.norm(d[0]))
+    sims[0] = -np.inf
+    order = sorted(range(60), key=lambda i: (-round(sims[i], 6), i))[:5]
+    assert [r["cand_id"] for r in sorted(got, key=lambda r: r["rnk"])] == order
+    assert got[0]["cosine"] == 1.0 or any(r["cosine"] == 1.0 for r in got)
+
+
+def test_lsh_topk_subset_of_exact_space(vecs):
+    df, data = vecs
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = lsh_topk(df, queries, dim=8, k=5, n_planes=4).collect()
+    # parallel vector 10 lands in the same hyperplane bucket as 0 always
+    assert any(r["cand_id"] == 10 for r in approx)
+    for r in approx:
+        assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_detect_lang(spark):
+    rows = [
+        (1, "the cat and the dog sat in the garden with the birds"),
+        (2, "der hund und die katze sind nicht mit der maus"),
+        (3, "le chat est dans la maison pour les vacances"),
+        (4, "el perro y el gato de la casa es para todos"),
+        (5, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["d"] for r in df.select("id", detect_lang(F.col("text")).alias("d")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_token_count_and_subwords(spark):
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, ""), (3, "   "), (4, "word")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: (r["t"], r["s"])
+        for r in df.select(
+            "id",
+            token_count(F.col("text")).alias("t"),
+            subword_estimate(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert got[1][0] == 3
+    assert got[2][0] == 0 and got[3][0] == 0
+    assert got[4][0] == 1
+    # 4 chars, 1 word → ceil(0.4 + 0.6) = 1
+    assert got[4][1] == 1
+
+
+def test_quality_and_fingerprint(spark):
+    good = "the quality of this document is high and the words are plain"
+    digits = "1234 5678 9999 0000 1111 2222 3333 4444 5555 6666 7777 8888"
+    df = spark.createDataFrame([(1, good), (2, digits)], "id long, text string")
+    got = {
+        r["id"]: (r["q"], r["f"])
+        for r in df.select(
+            "id",
+            quality_score(F.col("text")).alias("q"),
+            fingerprint64(F.col("text")).alias("f"),
+        ).collect()
+    }
+    assert got[1][0] > got[2][0]  # stopword-rich beats digit flood
+    assert got[1][1] != got[2][1]
+    # fingerprint is deterministic
+    again = df.select(fingerprint64(F.col("text")).alias("f")).collect()
+    assert {r["f"] for r in again} == {got[1][1], got[2][1]}
