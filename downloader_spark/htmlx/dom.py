@@ -219,7 +219,7 @@ class Element(Node):
         Comma groups follow CSS ``select_one`` semantics: the first element
         in document order matching ANY group.
         """
-        parts = [_parse_compound(s.strip()) for s in selector.split(",") if s.strip()]
+        parts = _parse_selector(selector)
         for el in self.iter_elements():
             for part in parts:
                 if _matches(el, part):
@@ -227,8 +227,26 @@ class Element(Node):
         return None
 
     def select(self, selector: str) -> list["Element"]:
-        parts = [_parse_compound(s.strip()) for s in selector.split(",") if s.strip()]
+        parts = _parse_selector(selector)
         return [el for el in self.iter_elements() if any(_matches(el, p) for p in parts)]
+
+    def select_first_of(self, selectors: tuple[str, ...]) -> "Element | None":
+        """Cascade: the first selector (by list order) with any match;
+        returns that selector's document-order first match. ONE traversal
+        instead of len(selectors) — semantically identical to calling
+        select_one per selector in order (perf: the extract hot path)."""
+        parts_per_sel = [_parse_selector(s) for s in selectors]
+        best_idx: int | None = None
+        best_el: Element | None = None
+        for el in self.iter_elements():
+            limit = best_idx if best_idx is not None else len(parts_per_sel)
+            for i in range(limit):
+                if any(_matches(el, p) for p in parts_per_sel[i]):
+                    best_idx, best_el = i, el
+                    if i == 0:
+                        return el
+                    break
+        return best_el
 
     # -- text extraction -----------------------------------------------------
     def strings(self):
@@ -249,7 +267,17 @@ class Element(Node):
         return f"Element({self.tag!r}, attrs={self.attrs!r}, n={len(self.children)})"
 
 
-def _parse_compound(sel: str) -> tuple[str | None, list[str], str | None, list[tuple[str, str | None]]]:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _parse_selector(selector: str) -> tuple:
+    return tuple(
+        _parse_compound(s.strip()) for s in selector.split(",") if s.strip()
+    )
+
+
+def _parse_compound(sel: str) -> tuple[str | None, tuple[str, ...], str | None, tuple[tuple[str, str | None], ...]]:
     """Parse ``tag.class#id[attr="v"]`` → (tag, classes, id, attr-tests)."""
     tag: str | None = None
     classes: list[str] = []

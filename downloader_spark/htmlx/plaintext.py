@@ -26,12 +26,15 @@ MAIN_CONTENT_SELECTORS = [
 _BLOCK_TAGS = ["p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li"]
 
 
+_CASCADE = tuple(MAIN_CONTENT_SELECTORS)
+
+
 def _extract_main(root: Element) -> Element:
-    """Selector cascade then <body> fallback (plaintext.py:49-68)."""
-    for selector in MAIN_CONTENT_SELECTORS:
-        found = root.select_one(selector)
-        if found is not None:
-            return found
+    """Selector cascade then <body> fallback (plaintext.py:49-68);
+    single-pass via select_first_of (≡ select_one per selector in order)."""
+    found = root.select_first_of(_CASCADE)
+    if found is not None:
+        return found
     body = root.find("body")
     return body if body is not None else root
 

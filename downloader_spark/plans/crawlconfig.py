@@ -33,6 +33,11 @@ class CrawlConfig:
     bloom_num_hashes: int = 5
     bloom_num_buckets: int = 16
     use_bloom: bool = True
+    # below this seen-set size the exact broadcast anti-join beats the
+    # Bloom probe's extra Python pass; at crawl scale (≫ this) the Bloom
+    # path is the only one that avoids shuffling the whole frontier
+    bloom_min_seen: int = 100_000
+    seen_compact_every: int = 16  # compact the append-only seen table
     snapshot_keep_last: int = 1000  # TTL analog (T8)
 
     def score_for_depth(self, depth: int) -> int:

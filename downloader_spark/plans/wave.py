@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import canonicalize_udf, crawl_extract_udf
 from ..sources.snapshots import SnapshotWarehouse
-from .bloom import bloom_maybe_seen, build_bloom
+from .bloom import bloom_maybe_seen, build_bloom, merge_blooms
 from .crawlconfig import CrawlConfig
 from .politeness import build_robots_dim, with_politeness
 
@@ -115,7 +115,8 @@ class CrawlEngine:
             F.lit(0).alias("n_links"),
         )
         frontier = valid.repartition(
-            self._n_shuffle(), F.pmod(F.xxhash64("host"), F.lit(cfg.num_host_buckets))
+            self._n_shuffle(len(seeds)),
+            F.pmod(F.xxhash64("host"), F.lit(cfg.num_host_buckets)),
         )
         self.wh.commit(frontier, "frontier", wave=0)
         self.wh.commit(
@@ -127,8 +128,15 @@ class CrawlEngine:
             return
         self.wh.commit(invalid, "results", wave=0, extra={"kind": "seed_invalid"})
 
-    def _n_shuffle(self) -> int:
-        return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    def _n_shuffle(self, n_rows: int | None = None) -> int:
+        """Shuffle width; sized to the data when a row estimate is
+        available (target ≥~2k rows/partition) so toy-scale waves don't
+        pay 32 near-empty tasks+files per commit — capped at the session
+        conf, which is the operative value at cluster scale."""
+        conf = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        if n_rows is None:
+            return conf
+        return max(1, min(conf, n_rows // 2000 + 1))
 
     @property
     def next_wave(self) -> int:
@@ -136,40 +144,98 @@ class CrawlEngine:
         snaps = self.wh.snapshots("metrics")
         return (snaps[-1]["wave"] + 1) if snaps else 1
 
+    # -- seen-set helpers (incremental; never rewrite history) ---------------
+    def _seen_total(self) -> int:
+        return sum(s["n_rows"] for s in self.wh.snapshots("seen"))
+
+    def read_seen(self) -> DataFrame:
+        """Union of all seen snapshots (append-only table). Compacted
+        every cfg.seen_compact_every waves so the union stays shallow."""
+        snaps = self.wh.snapshots("seen")
+        dfs = [self.wh.read(self.spark, "seen", s["id"]) for s in snaps]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _bloom_geometry(self) -> dict:
+        cfg = self.cfg
+        return dict(
+            num_buckets=cfg.bloom_num_buckets,
+            bits_per_bucket=cfg.bloom_bits_per_bucket,
+            num_hashes=cfg.bloom_num_hashes,
+        )
+
+    def _filter_unseen(self, df: DataFrame) -> DataFrame:
+        """Drop rows whose url is in the seen set: Bloom prefilter
+        (definitely-unseen rows skip the shuffle), exact anti-join only
+        for the maybe-seen residue."""
+        total = self._seen_total()
+        if total == 0:
+            return df
+        cfg = self.cfg
+        seen = self.read_seen()
+        if (
+            cfg.use_bloom
+            and total >= cfg.bloom_min_seen
+            and self._bloom_covered() == total
+        ):
+            bloom = self.wh.read(self.spark, "bloom")
+            probed = bloom_maybe_seen(df, bloom, **self._bloom_geometry())
+            definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybes = probed.filter("maybe_seen").drop("maybe_seen")
+            return definite.unionByName(maybes.join(seen, "url", "left_anti"))
+        return df.join(seen, "url", "left_anti")
+
+    def _bloom_covered(self) -> int:
+        snaps = self.wh.snapshots("bloom")
+        return snaps[-1].get("covered", -1) if snaps else -1
+
+    def _append_seen(self, terminal: DataFrame, wave: int) -> int:
+        """Append this wave's terminal urls as a NEW seen snapshot; once
+        the seen set crosses bloom_min_seen, maintain the Bloom table by
+        OR-merging the wave's bitmaps — O(wave output), never O(total
+        seen) except the ONE full build at threshold crossing. This is
+        the design that survives 10^10 URLs. Returns the new seen total."""
+        cfg, wh, spark = self.cfg, self.wh, self.spark
+        total_before = self._seen_total()
+        wh.commit(terminal, "seen", wave=wave)
+        total_after = self._seen_total()
+        if cfg.use_bloom and total_after >= cfg.bloom_min_seen:
+            if self._bloom_covered() == total_before:
+                new_bloom = merge_blooms(
+                    wh.read(spark, "bloom"),
+                    build_bloom(terminal, **self._bloom_geometry()),
+                )
+            else:  # threshold crossing (or stale): one full build
+                new_bloom = build_bloom(self.read_seen(), **self._bloom_geometry())
+            wh.commit(new_bloom, "bloom", wave=wave, extra={"covered": total_after})
+        # periodic compaction keeps the snapshot union shallow
+        if len(wh.snapshots("seen")) >= cfg.seen_compact_every:
+            compacted = self.read_seen().repartition(
+                self._n_shuffle(), F.pmod(F.xxhash64("url"), F.lit(cfg.num_host_buckets))
+            )
+            wh.commit(compacted, "seen", wave=wave, extra={"kind": "compaction"})
+            wh.expire_snapshots("seen", keep_last=1)  # compacted snap holds all
+        return self._seen_total()
+
     # -- one wave --------------------------------------------------------------
     def run_wave(self, wave: int) -> WaveMetrics:
+        from pyspark.sql import Observation
+
         cfg, spark, wh = self.cfg, self.spark, self.wh
 
         frontier = wh.read(spark, "frontier")
         n_frontier_in = wh.snapshots("frontier")[-1]["n_rows"]
-        seen = wh.read(spark, "seen")
-        n_seen_in = wh.snapshots("seen")[-1]["n_rows"]
         robots = wh.read(spark, "robots")
 
-        # 1. URL-seen: Bloom prefilter, exact anti-join for the maybes
-        if cfg.use_bloom and n_seen_in > 0:
-            bloom = build_bloom(
-                seen,
-                num_buckets=cfg.bloom_num_buckets,
-                bits_per_bucket=cfg.bloom_bits_per_bucket,
-                num_hashes=cfg.bloom_num_hashes,
-            )
-            probed = bloom_maybe_seen(
-                frontier,
-                bloom,
-                num_buckets=cfg.bloom_num_buckets,
-                bits_per_bucket=cfg.bloom_bits_per_bucket,
-                num_hashes=cfg.bloom_num_hashes,
-            )
-            definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            maybes = probed.filter("maybe_seen").drop("maybe_seen")
-            unseen = definitely_new.unionByName(
-                maybes.join(seen, "url", "left_anti")
-            )
-        else:
-            unseen = frontier.join(seen, "url", "left_anti")
+        # 1. URL-seen: Bloom prefilter + exact anti-join for the maybes.
+        #    n_unseen observed during the results write (no extra job).
+        obs_unseen = Observation(f"unseen-{wave}")
+        unseen = self._filter_unseen(frontier).observe(
+            obs_unseen, F.count(F.lit(1)).alias("n")
+        )
         unseen = unseen.persist()
-        n_unseen = unseen.count()
 
         # 2. politeness: robots allow/deny + per-host budget
         pol = with_politeness(unseen, robots, cfg)
@@ -238,14 +304,25 @@ class CrawlEngine:
         failed_res = as_result(failed, "failed")
         results = ok.drop("links").unionByName(denied_res).unionByName(retry_res).unionByName(failed_res)
 
-        res_snap = wh.commit(results, "results", wave=wave)
+        # per-status counts observed DURING the write (one pass — the
+        # reference's per-job progress counters A2, with no read-back)
+        obs_status = Observation(f"status-{wave}")
+        results = results.observe(
+            obs_status,
+            F.sum((F.col("status") == "ok").cast("int")).alias("n_ok"),
+            F.sum((F.col("status") == "robots_denied").cast("int")).alias("n_denied"),
+            F.sum((F.col("status") == "missing_retry").cast("int")).alias("n_retry"),
+            F.sum((F.col("status") == "failed").cast("int")).alias("n_failed"),
+        )
+        wh.commit(results, "results", wave=wave)
+        sc = obs_status.get
         status_counts = {
-            r["status"]: r["n"]
-            for r in wh.read(spark, "results", res_snap)
-            .groupBy("status")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            "ok": int(sc["n_ok"] or 0),
+            "robots_denied": int(sc["n_denied"] or 0),
+            "missing_retry": int(sc["n_retry"] or 0),
+            "failed": int(sc["n_failed"] or 0),
         }
+        n_unseen = int(obs_unseen.get["n"])
 
         # 5. discover links → canonical, valid, depth-bounded; dedupe
         #    within the wave by url (min depth → max score, same rule as
@@ -271,28 +348,28 @@ class CrawlEngine:
             .withColumn("attempt", F.lit(0))
         )
 
-        # 6. seen ∪= terminal outcomes (ok, denied, failed)
+        # 6. seen ∪= terminal outcomes (ok, denied, failed) — APPENDED as
+        #    a new snapshot + incremental Bloom OR-merge (never a rewrite)
         terminal = (
             ok.select("url")
             .unionByName(denied.select("url"))
             .unionByName(failed.select("url"))
         )
-        new_seen = seen.unionByName(terminal).dropDuplicates(["url"])
-        seen_snap = wh.commit(new_seen, "seen", wave=wave)
-        n_seen_out = wh.snapshots("seen")[-1]["n_rows"]
+        n_seen_out = self._append_seen(terminal, wave)
 
         # 7. next frontier = deferred ∪ retries ∪ (discovered − seen),
-        #    deduped by url (min depth → max score; max attempt wins)
+        #    deduped by url (min depth → max score; max attempt wins).
+        #    n_discovered observed during the frontier write.
         deferred = unseen.join(selected.select("url"), "url", "left_anti").join(
             denied.select("url"), "url", "left_anti"
         ).select("url", "host", "depth", "score", "attempt")
         retry_front = retry.select(
             "url", "host", "depth", "score", (F.col("attempt") + 1).alias("attempt")
         )
-        discovered_new = discovered.join(
-            wh.read(spark, "seen", seen_snap), "url", "left_anti"
-        ).persist()
-        n_discovered = discovered_new.count()
+        obs_disc = Observation(f"disc-{wave}")
+        discovered_new = self._filter_unseen(discovered).observe(
+            obs_disc, F.count(F.lit(1)).alias("n")
+        )
         frontier_out = (
             deferred.unionByName(retry_front)
             .unionByName(discovered_new)
@@ -304,11 +381,14 @@ class CrawlEngine:
                 F.max("attempt").alias("attempt"),
             )
             .repartition(
-                self._n_shuffle(),
+                # estimate: deferred bounded by frontier_in; discovery
+                # bounded by ok-pages × links/page
+                self._n_shuffle(n_frontier_in + n_frontier_in // 2 + 64),
                 F.pmod(F.xxhash64("host"), F.lit(cfg.num_host_buckets)),
             )
         )
         wh.commit(frontier_out, "frontier", wave=wave)
+        n_discovered = int(obs_disc.get["n"])
         n_frontier_out = wh.snapshots("frontier")[-1]["n_rows"]
 
         metrics = WaveMetrics(
@@ -332,7 +412,6 @@ class CrawlEngine:
         unseen.unpersist()
         selected.unpersist()
         extracted.unpersist()
-        discovered_new.unpersist()
         return metrics
 
     # -- loop ----------------------------------------------------------------

@@ -86,18 +86,9 @@ class SnapshotWarehouse:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
 
-        # lineage from the written files (cheap: parquet footers only)
-        spark = df.sparkSession
-        written = spark.read.parquet(path)
-        part_counts = (
-            written.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .collect()
-        )
-        partitions = sorted(
-            ({"pid": int(r["pid"]), "n_rows": int(r["count"])} for r in part_counts),
-            key=lambda d: d["pid"],
-        )
+        # lineage from the parquet FOOTERS (pyarrow metadata read — no
+        # Spark job, no data scan; one output file ≙ one partition)
+        partitions = self._footer_lineage(path)
         n_rows = sum(p["n_rows"] for p in partitions)
 
         entry = {
@@ -114,6 +105,21 @@ class SnapshotWarehouse:
         meta["current"] = snap_id
         self._store_meta(table, meta)
         return snap_id
+
+    @staticmethod
+    def _footer_lineage(path: str) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        parts = []
+        pid = 0
+        for root, _dirs, files in sorted(os.walk(path)):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                n = pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+                parts.append({"pid": pid, "n_rows": int(n)})
+                pid += 1
+        return parts
 
     def read(
         self, spark: SparkSession, table: str, snap_id: int | None = None

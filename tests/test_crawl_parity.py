@@ -20,6 +20,7 @@ CFG = CrawlConfig(
     salt_buckets=4,
     bloom_num_buckets=4,
     bloom_bits_per_bucket=1 << 14,
+    bloom_min_seen=1,  # exercise the Bloom path even at test scale
 )
 N_WAVES = 4
 
@@ -83,7 +84,7 @@ def test_crawl_ordering_identical(spark, engine_run, sim_run):
 
 def test_seen_set_identical(spark, engine_run, sim_run):
     eng, _ = engine_run
-    seen = {r["url"] for r in eng.wh.read(spark, "seen").collect()}
+    seen = {r["url"] for r in eng.read_seen().collect()}
     assert seen == sim_run.seen
 
 
@@ -129,8 +130,8 @@ def test_resume_from_snapshot(spark, web, tmp_path_factory):
     assert e3.next_wave == 3
     e3.run(max_waves=1)
 
-    seen1 = {r["url"] for r in e1.wh.read(spark, "seen").collect()}
-    seen2 = {r["url"] for r in e3.wh.read(spark, "seen").collect()}
+    seen1 = {r["url"] for r in e1.read_seen().collect()}
+    seen2 = {r["url"] for r in e3.read_seen().collect()}
     assert seen1 == seen2
     f1 = {tuple(r) for r in e1.wh.read(spark, "frontier").collect()}
     f2 = {tuple(r) for r in e3.wh.read(spark, "frontier").collect()}
