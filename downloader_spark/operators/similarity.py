@@ -105,6 +105,51 @@ def hyperplane_signature(
     return out
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Candidate generation:
+    - exact (default): self-join on a trivial bucket → only used when
+      n_planes is None; O(n²) compare but no Python, fine for verify
+      paths and test scale;
+    - LSH (n_planes set): hyperplane-signature bucket join — the scale
+      path; pairs in different buckets are missed (recall<1), standard
+      for embedding dedup at 100 TB.
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    cand = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if n_planes is not None:
+        if dim is None:
+            raise ValueError("dim required for LSH candidate generation")
+        cand = cand.withColumn(
+            "_sig", hyperplane_signature(F.col("_v"), dim, n_planes)
+        )
+        join_cond = [F.col("l._sig") == F.col("r._sig"), F.col("l._id") < F.col("r._id")]
+    else:
+        join_cond = [F.col("l._id") < F.col("r._id")]
+    l, r = cand.alias("l"), cand.alias("r")
+    paired = l.join(r, on=join_cond)
+    sim = _dot(F.col("l._v"), F.col("r._v")) / (
+        _norm(F.col("l._v")) * _norm(F.col("r._v"))
+    )
+    return (
+        paired.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(sim, round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -424,6 +424,28 @@ class CrawlEngine:
             out.append(self.run_wave(w))
         return out
 
+    # -- status (T4 job-lifecycle surface) ------------------------------------
+    def status(self) -> dict:
+        """JobInfo analog (reference job_manager.py:28-44): crawl-level
+        progress derived from snapshot metadata only — no Spark jobs."""
+        metrics = self.wh.snapshots("metrics")
+        frontier = self.wh.snapshots("frontier")
+        waves = len(metrics)
+        remaining = frontier[-1]["n_rows"] if frontier else 0
+        seen = self._seen_total()
+        state = (
+            "pending"
+            if not frontier
+            else ("completed" if waves and remaining == 0 else ("running" if waves else "pending"))
+        )
+        return {
+            "status": state,
+            "waves_completed": waves,
+            "frontier_remaining": remaining,
+            "urls_seen": seen,
+            "results_snapshots": len(self.wh.snapshots("results")),
+        }
+
     # -- reads ------------------------------------------------------------------
     def all_results(self) -> DataFrame:
         """Union of every results snapshot (the full crawl log)."""

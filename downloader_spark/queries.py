@@ -832,3 +832,95 @@ def q_media_features(spark, sf_dir):
         "media_id", F.col("meta.media_type").alias("media_type"),
         "n_bytes", "byte_mean", "byte_entropy",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup + multi-format fan-out + UA sanitize
+# ---------------------------------------------------------------------------
+
+@_q(
+    "embedding_near_dups",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.99
+    """,
+)
+def q_embedding_near_dups(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine ≥ 0.99). The LSH variant
+    is the scale path (embedding_near_dups_lsh, rows-only)."""
+    from .operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.99)
+
+
+@_q("embedding_near_dups_lsh")
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    from .operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    first = emb.select(F.size("embedding").alias("d")).first()
+    # low threshold + few planes so the synthetic (near-orthogonal)
+    # embeddings still produce candidate pairs worth returning
+    return embedding_near_dups(
+        emb, threshold=0.3, dim=int(first["d"]), n_planes=4
+    )
+
+
+@_q("multi_format_fanout")
+def q_multi_format_fanout(spark, sf_dir):
+    """C7: one scan → N format payloads per page + typed error rows for
+    browser-bound formats (pdf)."""
+    from .functions.udfs import extract_udf
+    from .operators.formats import multi_format_results
+    from .sources.pagegen import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    m = F.xxhash64("url") % 3
+    formats = (
+        F.when(m == 0, F.array(F.lit("text"), F.lit("markdown")))
+        .when(m == 1, F.array(F.lit("json"), F.lit("raw"), F.lit("pdf")))
+        .otherwise(F.array(F.lit("html"), F.lit("text")))
+    )
+    extracted = pages.withColumn(
+        "ex", extract_udf("url", "html", F.lit("text/html"))
+    ).withColumn("formats", formats)
+    return multi_format_results(extracted).select(
+        "url", "format", "mime", F.length("payload").alias("payload_len"), "error_type"
+    )
+
+
+@_q(
+    "ua_sanitize",
+    """
+    SELECT doc_id,
+           substr(regexp_replace(source || '<bot>/' || doc_id || '?x',
+                                 '[^a-zA-Z0-9_\\s\\-\\.\\(\\)/;:,]', '', 'g'),
+                  1, 200) AS ua
+    FROM documents
+    """,
+)
+def q_ua_sanitize(spark, sf_dir):
+    """P3: User-Agent scrub (validation.py:271-287) as native columns.
+    Character class spelled [a-zA-Z0-9_] instead of \\w so Spark (Java
+    regex) and DuckDB (RE2) agree on unicode semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat("source", F.lit("<bot>/"), "doc_id", F.lit("?x"))
+    ua = F.substring(
+        F.regexp_replace(raw, r"[^a-zA-Z0-9_\s\-\.\(\)/;:,]", ""), 1, 200
+    )
+    return docs.select("doc_id", ua.alias("ua"))
