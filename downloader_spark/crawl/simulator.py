@@ -74,6 +74,7 @@ def simulate_crawl(
             "n_ok": 0,
             "n_missing_retry": 0,
             "n_failed": 0,
+            "n_too_large": 0,
             "n_discovered": 0,
         }
 
@@ -126,6 +127,11 @@ def simulate_crawl(
                     counts["n_missing_retry"] += 1
                 continue
             html, ctype = page
+            if len(html) > cfg.max_content_bytes:
+                res.statuses[url] = "too_large"
+                res.seen.add(url)
+                counts["n_too_large"] += 1
+                continue
             ex = extract_page(html, ctype, url, with_links=True)
             res.statuses[url] = "ok"
             res.texts[url] = ex.text

@@ -27,6 +27,9 @@ class CrawlConfig:
     score_base: int = 100
     score_decay: int = 10  # score = max(0, base - decay*depth)
     max_links_per_page: int = 64
+    # DoS guard (reference config.py:208-213: 50 MB max download);
+    # oversized pages become terminal 'too_large' rows, counted in metrics
+    max_content_bytes: int = 50 * 1024 * 1024
     salt_buckets: int = 8  # two-phase top-k salt for hot hosts
     num_host_buckets: int = 64  # frontier partitioning pmod(xxhash64(host), P)
     bloom_bits_per_bucket: int = 1 << 17  # 16 KiB per bucket

@@ -62,6 +62,7 @@ class WaveMetrics:
     n_ok: int
     n_missing_retry: int
     n_failed: int
+    n_too_large: int
     n_discovered: int
     n_frontier_out: int
     n_seen_out: int
@@ -258,8 +259,18 @@ class CrawlEngine:
         selected = ranked.filter(F.col("rank") <= F.col("budget")).drop("budget", "allowed")
         selected = selected.persist()
 
-        # 4. fetch = join pages (S1 stand-in); extract via Arrow UDF
+        # 4. fetch = join pages (S1 stand-in); size guard BEFORE the
+        #    extract UDF (never ship oversized payloads to Python —
+        #    reference 50 MB DoS guard, config.py:208-213)
         fetched = selected.join(self.pages, "url", "left")
+        too_large = fetched.filter(
+            F.col("html").isNotNull()
+            & (F.length("html") > cfg.max_content_bytes)
+        ).select("url", "host", "depth", "rank")
+        fetched = fetched.filter(
+            F.col("html").isNull()
+            | (F.length("html") <= cfg.max_content_bytes)
+        )
         extracted = fetched.withColumn(
             "ex", crawl_extract_udf("url", "html", "content_type")
         ).persist()
@@ -302,7 +313,14 @@ class CrawlEngine:
         denied_res = as_result(denied.withColumn("rank", F.lit(None).cast("int")), "robots_denied")
         retry_res = as_result(retry, "missing_retry")
         failed_res = as_result(failed, "failed")
-        results = ok.drop("links").unionByName(denied_res).unionByName(retry_res).unionByName(failed_res)
+        too_large_res = as_result(too_large, "too_large")
+        results = (
+            ok.drop("links")
+            .unionByName(denied_res)
+            .unionByName(retry_res)
+            .unionByName(failed_res)
+            .unionByName(too_large_res)
+        )
 
         # per-status counts observed DURING the write (one pass — the
         # reference's per-job progress counters A2, with no read-back)
@@ -313,6 +331,7 @@ class CrawlEngine:
             F.sum((F.col("status") == "robots_denied").cast("int")).alias("n_denied"),
             F.sum((F.col("status") == "missing_retry").cast("int")).alias("n_retry"),
             F.sum((F.col("status") == "failed").cast("int")).alias("n_failed"),
+            F.sum((F.col("status") == "too_large").cast("int")).alias("n_too_large"),
         )
         wh.commit(results, "results", wave=wave)
         sc = obs_status.get
@@ -321,6 +340,7 @@ class CrawlEngine:
             "robots_denied": int(sc["n_denied"] or 0),
             "missing_retry": int(sc["n_retry"] or 0),
             "failed": int(sc["n_failed"] or 0),
+            "too_large": int(sc["n_too_large"] or 0),
         }
         n_unseen = int(obs_unseen.get["n"])
 
@@ -354,6 +374,7 @@ class CrawlEngine:
             ok.select("url")
             .unionByName(denied.select("url"))
             .unionByName(failed.select("url"))
+            .unionByName(too_large.select("url"))
         )
         n_seen_out = self._append_seen(terminal, wave)
 
@@ -398,10 +419,12 @@ class CrawlEngine:
             n_denied=status_counts.get("robots_denied", 0),
             n_scheduled=status_counts.get("ok", 0)
             + status_counts.get("missing_retry", 0)
-            + status_counts.get("failed", 0),
+            + status_counts.get("failed", 0)
+            + status_counts.get("too_large", 0),
             n_ok=status_counts.get("ok", 0),
             n_missing_retry=status_counts.get("missing_retry", 0),
             n_failed=status_counts.get("failed", 0),
+            n_too_large=status_counts.get("too_large", 0),
             n_discovered=n_discovered,
             n_frontier_out=n_frontier_out,
             n_seen_out=n_seen_out,

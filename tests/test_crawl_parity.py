@@ -21,6 +21,7 @@ CFG = CrawlConfig(
     bloom_num_buckets=4,
     bloom_bits_per_bucket=1 << 14,
     bloom_min_seen=1,  # exercise the Bloom path even at test scale
+    max_content_bytes=6000,  # small cap so some pages hit 'too_large'
 )
 N_WAVES = 4
 
@@ -65,6 +66,7 @@ def test_wave_metrics_match(engine_run, sim_run):
             "n_ok",
             "n_missing_retry",
             "n_failed",
+            "n_too_large",
             "n_discovered",
             "n_frontier_out",
             "n_seen_out",
