@@ -924,3 +924,53 @@ def q_ua_sanitize(spark, sf_dir):
         F.regexp_replace(raw, r"[^a-zA-Z0-9_\s\-\.\(\)/;:,]", ""), 1, 200
     )
     return docs.select("doc_id", ua.alias("ua"))
+
+
+# ---------------------------------------------------------------------------
+# Percentiles (A3 p95) + paging with offset (O1)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "response_p95",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           ROUND(MIN(value), 4) AS min_v,
+           ROUND(MAX(value), 4) AS max_v,
+           ROUND(AVG(value), 4) AS avg_v
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_response_p95(spark, sf_dir):
+    """A3 p95 tracking (metrics.py:47-53): exact interpolated
+    percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`); at 100 TB
+    swap to `percentile_approx` (single-pass sketch) — the exact form is
+    the oracle-able contract."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.round(F.avg("value"), 4).alias("avg_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "exec_history_offset",
+    """
+    SELECT event_id, ts, event_type FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 50 OFFSET 100
+    """,
+)
+def q_exec_history_offset(spark, sf_dir):
+    """O1 ZREVRANGE paging with start offset (storage.py:112-133)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    return history_page(ev, "ts", limit=50, offset=100, tiebreak="event_id")
