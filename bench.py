@@ -135,7 +135,7 @@ def main() -> None:
     t_all0 = time.monotonic()
     qtimes = _run_queries(spark, HEADLINE, SF_DIR)
     total = round(time.monotonic() - t_all0, 4)
-    n_pages, ex_dt, _chars = _extract_throughput(spark, SF_DIR)
+    n_pages, ex_dt, _chars = _extract_throughput(spark, SF_DIR, repeat=4)
     pages_per_sec = round(n_pages / ex_dt, 2) if ex_dt else 0.0
 
     crawl = _crawl_throughput(spark)
