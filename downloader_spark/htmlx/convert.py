@@ -181,7 +181,7 @@ def extract_page(
         flags = DetectionFlags(0, False, False, True, False)
         return ExtractResult("", "", flags)
 
-    flags = _detect_from_root(root, url, len(content))
+    flags = _detect_from_root(root, url, len(content), raw_lower=text_in.lower())
     links = _collect_links(root, url) if with_links else ()
 
     root.decompose_all(CONVERT_STRIP)
@@ -313,7 +313,9 @@ class _DetectScan:
                         self.has_error = True
 
 
-def _detect_from_root(root: Element, url: str, content_len: int) -> DetectionFlags:
+def _detect_from_root(
+    root: Element, url: str, content_len: int, raw_lower: str | None = None
+) -> DetectionFlags:
     scan = _DetectScan(root)
     body = scan.body
     body_text = body.get_text(strip=True) if body is not None else ""
@@ -329,8 +331,16 @@ def _detect_from_root(root: Element, url: str, content_len: int) -> DetectionFla
         needs_render = True if has_container else (not is_error)
 
     # --- D2: should_use_playwright_for_html (:190-285)
-    text_lower = root.get_text("").lower()
-    if any(p in text_lower for p in JS_REQUIRED_PATTERNS):
+    # cheap precheck: the page TEXT can only contain a js-required
+    # phrase if the raw markup contains "javascript" or "enable js"
+    # (text chars ⊆ markup chars) — skips the full get_text walk for
+    # the overwhelmingly common case
+    if raw_lower is None or "javascript" in raw_lower or "enable js" in raw_lower:
+        text_lower = root.get_text("").lower()
+        js_phrase = any(p in text_lower for p in JS_REQUIRED_PATTERNS)
+    else:
+        js_phrase = False
+    if js_phrase:
         needs_js = True
     elif body is None:
         needs_js = False
