@@ -108,7 +108,11 @@ def simulate_crawl(
             )
             for rank, url in enumerate(cand[:budget], start=1):
                 selected.append((url, rank))
-                res.schedule.append((wave, host, rank, url))
+        if cfg.max_urls_per_wave is not None:
+            selected.sort(key=lambda ur: (-allowed[ur[0]][2], allowed[ur[0]][1], ur[0]))
+            selected = selected[: cfg.max_urls_per_wave]
+        for url, rank in selected:
+            res.schedule.append((wave, allowed[url][0], rank, url))
 
         # fetch + extract + discover
         discovered: dict[str, list] = {}

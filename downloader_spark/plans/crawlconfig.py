@@ -22,6 +22,10 @@ class CrawlConfig:
     wave_seconds: int = 30  # politeness budget window per wave
     default_crawl_delay: int = 1  # hosts without robots Crawl-delay
     max_per_host_per_wave: int = 30  # cap even for delay-0 hosts
+    # P6 analog (reference ≤50-URL batch guard, batch.py:379-387): a
+    # GLOBAL per-wave budget — at 10^10 scale waves are resource-sized,
+    # not unbounded. None = no global cap (per-host budgets still apply).
+    max_urls_per_wave: int | None = None
     max_attempts: int = 3  # executor.py:29-30
     max_depth: int = 3  # frontier expansion bound
     score_base: int = 100

@@ -257,6 +257,11 @@ class CrawlEngine:
         w2 = Window.partitionBy("host").orderBy(*order)
         ranked = survivors.withColumn("rank", F.row_number().over(w2))
         selected = ranked.filter(F.col("rank") <= F.col("budget")).drop("budget", "allowed")
+        if cfg.max_urls_per_wave is not None:
+            # P6 global wave budget: deterministic top-N over the
+            # politeness-selected set (TakeOrdered — no full sort);
+            # cut rows fall into `deferred` automatically
+            selected = selected.orderBy(*order).limit(cfg.max_urls_per_wave)
         selected = selected.persist()
 
         # 4. fetch = join pages (S1 stand-in); size guard BEFORE the

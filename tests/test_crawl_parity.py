@@ -22,6 +22,7 @@ CFG = CrawlConfig(
     bloom_bits_per_bucket=1 << 14,
     bloom_min_seen=1,  # exercise the Bloom path even at test scale
     max_content_bytes=6000,  # small cap so some pages hit 'too_large'
+    max_urls_per_wave=15,  # exercise the global wave budget (P6)
 )
 N_WAVES = 4
 

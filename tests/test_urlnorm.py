@@ -112,3 +112,37 @@ class TestSanitizeUserAgent:
 
     def test_default(self):
         assert sanitize_user_agent().startswith("downloader-spark/")
+
+
+class TestSSRFBoundaryMatrix:
+    """Boundary values ported from the reference smoke suite
+    (tests/smoke/test_validation.py:90-229)."""
+
+    import pytest as _pytest
+
+    BLOCKED = [
+        ("http://127.0.0.2", "ssrf_loopback"),
+        ("http://10.255.255.255", "ssrf_private"),
+        ("http://172.31.255.255", "ssrf_private"),
+        ("http://192.168.255.255", "ssrf_private"),
+        ("http://169.254.169.254/latest/meta-data/", "ssrf_cloud_metadata"),
+        ("http://169.254.100.50", "ssrf_link_local"),
+        ("http://239.255.255.255", "ssrf_multicast"),
+        ("http://240.0.0.1", "ssrf_reserved"),
+        ("http://0.0.0.0", "ssrf_unspecified"),
+    ]
+
+    def test_blocked_boundaries(self):
+        for url, reason in self.BLOCKED:
+            c = validate_url(url)
+            assert not c.valid and c.reason == reason, url
+
+    def test_allowed_public(self):
+        for url in ("http://8.8.8.8", "http://1.1.1.1", "http://example.com"):
+            c = validate_url(url)
+            assert c.valid and c.url == url, url
+
+    def test_non_private_172_ranges_allowed(self):
+        # 172.15.x and 172.32.x are NOT in 172.16.0.0/12
+        assert validate_url("http://172.15.0.1").valid
+        assert validate_url("http://172.32.0.1").valid
