@@ -121,6 +121,70 @@ def _crawl_throughput(spark, n_hosts=300, pages_per_host=60):
     }
 
 
+def _frontier_plan_throughput(spark, n_frontier=2_000_000, n_seen=1_000_000, n_hosts=50_000):
+    """Frontier URLs/sec through the full wave-PLANNING path (Bloom
+    seen-filter → exact anti-join for maybes → two-phase per-host
+    priority rank) on a synthetic 2M-URL frontier — the headline
+    BASELINE.json metric at a scale where fixed costs amortize."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from downloader_spark.plans.bloom import bloom_maybe_seen, build_bloom
+
+    def urls():
+        return F.concat(
+            F.lit("http://site"),
+            F.pmod(F.xxhash64("id"), F.lit(n_hosts)).cast("string"),
+            F.lit(".example/p/"),
+            F.col("id").cast("string"),
+        )
+
+    frontier = (
+        spark.range(n_frontier)
+        .select(
+            urls().alias("url"),
+            F.concat(
+                F.lit("site"),
+                F.pmod(F.xxhash64("id"), F.lit(n_hosts)).cast("string"),
+                F.lit(".example"),
+            ).alias("host"),
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(4)).cast("int").alias("depth"),
+        )
+        .withColumn("score", (100 - 10 * F.col("depth")).cast("int"))
+        .cache()
+    )
+    seen = spark.range(0, n_seen * 2, 2).select(urls().alias("url")).cache()
+    frontier.count(), seen.count()
+
+    geo = dict(num_buckets=64, bits_per_bucket=1 << 22, num_hashes=5)
+    bloom = build_bloom(seen, **geo).cache()
+    bloom.count()
+
+    t0 = time.monotonic()
+    probed = bloom_maybe_seen(frontier, bloom, **geo)
+    unseen = probed.filter(~probed.maybe_seen).drop("maybe_seen").unionByName(
+        probed.filter("maybe_seen").drop("maybe_seen").join(seen, "url", "left_anti")
+    )
+    order = [F.desc("score"), F.asc("depth"), F.asc("url")]
+    salted = unseen.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(8)))
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    surv = (
+        salted.withColumn("_r", F.row_number().over(w1)).filter("_r <= 10").drop("_salt", "_r")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    n_sel = surv.withColumn("rank", F.row_number().over(w2)).filter("rank <= 10").count()
+    dt = time.monotonic() - t0
+    for df in (frontier, seen, bloom):
+        df.unpersist()
+    return {
+        "n_frontier": n_frontier,
+        "n_seen": n_seen,
+        "n_selected": n_sel,
+        "wall_sec": round(dt, 2),
+        "frontier_urls_per_sec": round(n_frontier / dt, 2),
+    }
+
+
 def _session(cores):
     from downloader_spark.session import get_spark
 
@@ -139,6 +203,7 @@ def main() -> None:
     pages_per_sec = round(n_pages / ex_dt, 2) if ex_dt else 0.0
 
     crawl = _crawl_throughput(spark)
+    frontier_plan = _frontier_plan_throughput(spark)
 
     result = {
         "metric": "headline query wall-clock + crawl throughput",
@@ -150,6 +215,7 @@ def main() -> None:
         "pages_converted_per_sec": pages_per_sec,
         "n_pages": n_pages,
         "crawl": crawl,
+        "frontier_plan": frontier_plan,
     }
 
     if scaling:
