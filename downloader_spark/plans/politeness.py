@@ -98,10 +98,16 @@ def is_path_allowed(path: str, disallow: list[str] | None) -> bool:
 def with_politeness(
     frontier: DataFrame, robots_dim: DataFrame, cfg: CrawlConfig
 ) -> DataFrame:
-    """Join the (small) robots dim broadcast onto the frontier; adds
-    ``allowed`` and per-host ``budget`` columns. Missing robots row →
-    default-allow with the default crawl delay."""
-    joined = frontier.join(F.broadcast(robots_dim), "host", "left")
+    """Join the robots dim onto the frontier; adds ``allowed`` and
+    per-host ``budget`` columns. Missing robots row → default-allow with
+    the default crawl delay.
+
+    The dim is broadcast while it fits (cfg.broadcast_robots); at
+    10^8-host scale flip it off and the join becomes a shuffle hash
+    join on host — both sides already partition by host, so AQE
+    co-locates it with the priority window's shuffle."""
+    dim = F.broadcast(robots_dim) if cfg.broadcast_robots else robots_dim
+    joined = frontier.join(dim, "host", "left")
     path = F.regexp_extract("url", r"^[a-z]+://[^/]*(/.*)$", 1)
     path = F.when(path == "", "/").otherwise(path)
     allowed = F.when(

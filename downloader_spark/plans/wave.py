@@ -231,12 +231,13 @@ class CrawlEngine:
         robots = wh.read(spark, "robots")
 
         # 1. URL-seen: Bloom prefilter + exact anti-join for the maybes.
-        #    n_unseen observed during the results write (no extra job).
-        obs_unseen = Observation(f"unseen-{wave}")
-        unseen = self._filter_unseen(frontier).observe(
-            obs_unseen, F.count(F.lit(1)).alias("n")
-        )
-        unseen = unseen.persist()
+        #    Materialized NOW (count): every later branch (politeness,
+        #    deferred, seen-update) reads the cache instead of re-running
+        #    the probe — lazy persists under a multi-branch union
+        #    otherwise recompute the whole chain per branch (measured
+        #    ~6× wave wall-clock).
+        unseen = self._filter_unseen(frontier).persist()
+        n_unseen = unseen.count()
 
         # 2. politeness: robots allow/deny + per-host budget
         pol = with_politeness(unseen, robots, cfg)
@@ -279,6 +280,7 @@ class CrawlEngine:
         extracted = fetched.withColumn(
             "ex", crawl_extract_udf("url", "html", "content_type")
         ).persist()
+        extracted.count()  # materialize: ONE extract pass feeds all branches
 
         ok = extracted.filter(F.col("html").isNotNull()).select(
             F.lit(wave).alias("wave"),
@@ -347,7 +349,6 @@ class CrawlEngine:
             "failed": int(sc["n_failed"] or 0),
             "too_large": int(sc["n_too_large"] or 0),
         }
-        n_unseen = int(obs_unseen.get["n"])
 
         # 5. discover links → canonical, valid, depth-bounded; dedupe
         #    within the wave by url (min depth → max score, same rule as
