@@ -136,7 +136,9 @@ def simulate_crawl(
                 res.seen.add(url)
                 counts["n_too_large"] += 1
                 continue
-            ex = extract_page(html, ctype, url, with_links=True)
+            ex = extract_page(
+                html, ctype, url, with_links=True, link_cap=cfg.max_links_per_page
+            )
             res.statuses[url] = "ok"
             res.texts[url] = ex.text
             res.seen.add(url)

@@ -85,31 +85,41 @@ def extract_udf(
 _CRAWL_COLS = [f.name for f in CRAWL_EXTRACT_SCHEMA.fields]
 
 
-@pandas_udf(CRAWL_EXTRACT_SCHEMA)
-def crawl_extract_udf(
-    url: pd.Series, html: pd.Series, content_type: pd.Series
-) -> pd.DataFrame:
-    """extract_udf + out-link discovery (one parse per page)."""
-    rows = []
-    for u, h, ct in zip(url, html, content_type):
-        if h is None:
-            rows.append(("", "", 0, False, False, False, False, []))
-            continue
-        r = extract_page(bytes(h), ct or "", u or "", with_links=True)
-        f = r.flags
-        rows.append(
-            (
-                r.text,
-                r.markdown,
-                f.body_text_len,
-                f.has_content_container,
-                f.is_error_page,
-                f.needs_render,
-                f.needs_js_render,
-                list(r.links),
+def make_crawl_extract_udf(max_links: int = 64):
+    """extract_udf + out-link discovery (one parse per page), with the
+    link cap taken from engine config (CrawlConfig.max_links_per_page)."""
+
+    @pandas_udf(CRAWL_EXTRACT_SCHEMA)
+    def crawl_extract(
+        url: pd.Series, html: pd.Series, content_type: pd.Series
+    ) -> pd.DataFrame:
+        rows = []
+        for u, h, ct in zip(url, html, content_type):
+            if h is None:
+                rows.append(("", "", 0, False, False, False, False, []))
+                continue
+            r = extract_page(
+                bytes(h), ct or "", u or "", with_links=True, link_cap=max_links
             )
-        )
-    return pd.DataFrame(rows, columns=_CRAWL_COLS)
+            f = r.flags
+            rows.append(
+                (
+                    r.text,
+                    r.markdown,
+                    f.body_text_len,
+                    f.has_content_container,
+                    f.is_error_page,
+                    f.needs_render,
+                    f.needs_js_render,
+                    list(r.links),
+                )
+            )
+        return pd.DataFrame(rows, columns=_CRAWL_COLS)
+
+    return crawl_extract
+
+
+crawl_extract_udf = make_crawl_extract_udf()
 
 
 @pandas_udf(CANON_SCHEMA)

@@ -148,8 +148,18 @@ def canonicalize_url(url: str | None) -> UrlCheck:
     parsed = urlparse(check.url)
     scheme = parsed.scheme.lower()
     host = (parsed.hostname or "").lower()
-    port = parsed.port
-    netloc = host if (port is None or _DEFAULT_PORTS.get(scheme) == port) else f"{host}:{port}"
+    try:
+        port = parsed.port  # raises on out-of-range/non-numeric ports
+    except ValueError:
+        return UrlCheck("", False, "bad_port", "")
+    # IPv6 literals must stay bracketed or the canonical form can never
+    # be re-parsed (the ':' would read as a port separator)
+    host_part = f"[{host}]" if ":" in host else host
+    netloc = (
+        host_part
+        if (port is None or _DEFAULT_PORTS.get(scheme) == port)
+        else f"{host_part}:{port}"
+    )
     path = parsed.path or "/"
     query = ""
     if parsed.query:

@@ -156,7 +156,11 @@ def _collect_links(root: Element, base_url: str, cap: int = MAX_LINKS_PER_PAGE) 
 
 
 def extract_page(
-    content: bytes, content_type: str, url: str = "", with_links: bool = False
+    content: bytes,
+    content_type: str,
+    url: str = "",
+    with_links: bool = False,
+    link_cap: int = MAX_LINKS_PER_PAGE,
 ) -> ExtractResult:
     """Text + markdown + detection flags (+ out-links) in ONE parse.
 
@@ -182,7 +186,7 @@ def extract_page(
         return ExtractResult("", "", flags)
 
     flags = _detect_from_root(root, url, len(content), raw_lower=text_in.lower())
-    links = _collect_links(root, url) if with_links else ()
+    links = _collect_links(root, url, cap=link_cap) if with_links else ()
 
     root.decompose_all(CONVERT_STRIP)
     main = _extract_main_for_convert(root)

@@ -105,6 +105,12 @@ def minhash_lsh_pairs(
     estimated-Jaccard filter needs only the two signatures. Returns
     (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            "otherwise trailing signature components are silently dropped "
+            "(and bands > num_hashes degenerates to an all-pairs join)"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text, num_hashes, shingle_k)
     banded = sig.select(

@@ -95,11 +95,12 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def bloom_maybe_seen(
     candidates: DataFrame,
-    bloom: DataFrame,
+    bloom: DataFrame | None,
     url_col: str = "url",
     num_buckets: int = 16,
     bits_per_bucket: int = 1 << 17,
     num_hashes: int = 5,
+    bitmap_bc=None,
 ) -> DataFrame:
     """candidates + ``maybe_seen`` boolean column.
 
@@ -113,9 +114,12 @@ def bloom_maybe_seen(
     probe arithmetic. Rows with maybe_seen=false are DEFINITELY unseen.
     """
     m, k = bits_per_bucket, num_hashes
-    spark = candidates.sparkSession
-    bitmap = {int(r["bucket"]): bytes(r["bits"]) for r in bloom.collect()}
-    bc = spark.sparkContext.broadcast(bitmap)
+    if bitmap_bc is not None:
+        bc = bitmap_bc  # caller-managed (reused across probes, destroyed on supersede)
+    else:
+        spark = candidates.sparkSession
+        bitmap = {int(r["bucket"]): bytes(r["bits"]) for r in bloom.collect()}
+        bc = spark.sparkContext.broadcast(bitmap)
 
     h1c, h2c = _hash_cols(url_col)
     with_keys = (

@@ -41,6 +41,7 @@ class CrawlConfig:
     bloom_num_buckets: int = 16
     use_bloom: bool = True
     broadcast_robots: bool = True  # flip off beyond ~10^7 hosts
+    dedupe_pages: bool = True  # drop duplicate url captures (latest wins)
     # below this seen-set size the exact broadcast anti-join beats the
     # Bloom probe's extra Python pass; at crawl scale (≫ this) the Bloom
     # path is the only one that avoids shuffling the whole frontier

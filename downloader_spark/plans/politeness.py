@@ -58,8 +58,11 @@ def parse_robots(body: str) -> tuple[int | None, list[str]]:
                 disallow.append(value)
             elif key == "crawl-delay":
                 try:
-                    delay = int(float(value))
-                except ValueError:
+                    # OverflowError: 'inf'; clamp to one day — a robots
+                    # body is attacker-controlled content and the value
+                    # must fit the int32 Arrow schema
+                    delay = max(0, min(int(float(value)), 86400))
+                except (ValueError, OverflowError):
                     pass
     return delay, disallow
 

@@ -28,7 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.udfs import canonicalize_udf, crawl_extract_udf
+from ..functions.udfs import canonicalize_udf, make_crawl_extract_udf
 from ..sources.snapshots import SnapshotWarehouse
 from .bloom import bloom_maybe_seen, build_bloom, merge_blooms
 from .crawlconfig import CrawlConfig
@@ -81,7 +81,22 @@ class CrawlEngine:
         self.cfg = cfg or CrawlConfig()
         if "content_type" not in pages.columns:
             pages = pages.withColumn("content_type", F.lit("text/html"))
+        if self.cfg.dedupe_pages:
+            # duplicate captures of a url would fan out the fetch join
+            # (duplicate results, double-counted metrics); keep the
+            # latest capture with a deterministic tie-break
+            order = (
+                [F.desc("warc_ts")] if "warc_ts" in pages.columns else []
+            ) + [F.desc(F.xxhash64("html"))]
+            w = Window.partitionBy("url").orderBy(*order)
+            pages = (
+                pages.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         self.pages = pages.select("url", "html", "content_type")
+        self._extract_udf = make_crawl_extract_udf(self.cfg.max_links_per_page)
+        self._bloom_bc: tuple[int, object] | None = None
 
     # -- bootstrap -----------------------------------------------------------
     def init(self, seeds: list[str]) -> None:
@@ -145,6 +160,27 @@ class CrawlEngine:
         snaps = self.wh.snapshots("metrics")
         return (snaps[-1]["wave"] + 1) if snaps else 1
 
+    def recover(self) -> dict[str, list[int]]:
+        """Roll back orphan snapshots from a partially-committed wave.
+
+        A wave commits results → seen → bloom → frontier → metrics;
+        metrics is the COMMIT MARKER (written last). After a mid-wave
+        crash, tables committed before the crash carry wave=k snapshots
+        while metrics stops at k-1 — re-running wave k against that
+        state would treat the wave's fetches as already-seen and DROP
+        their discovered links. Rolling every table back to the last
+        metrics wave restores exactly the pre-wave state (snapshots are
+        immutable, so rollback is just pointer surgery)."""
+        last_complete = self.next_wave - 1
+        dropped = {}
+        for table in ("results", "seen", "bloom", "frontier"):
+            d = self.wh.rollback_above(table, last_complete)
+            if d:
+                dropped[table] = d
+        if dropped:
+            self._bloom_bc = None  # bitmap may reference a dropped snapshot
+        return dropped
+
     # -- seen-set helpers (incremental; never rewrite history) ---------------
     def _seen_total(self) -> int:
         return sum(s["n_rows"] for s in self.wh.snapshots("seen"))
@@ -167,6 +203,28 @@ class CrawlEngine:
             num_hashes=cfg.bloom_num_hashes,
         )
 
+    def _bloom_bitmap(self):
+        """Broadcast handle for the CURRENT bloom snapshot, collected and
+        broadcast once per snapshot and destroyed when superseded —
+        probes run twice per wave and a per-call broadcast would leak
+        one bitmap copy per probe for the crawl's lifetime."""
+        snap = self.wh.current_id("bloom")
+        if self._bloom_bc is not None and self._bloom_bc[0] == snap:
+            return self._bloom_bc[1]
+        if self._bloom_bc is not None:
+            # unpersist (NOT destroy): frees executor copies but keeps
+            # the broadcast usable if a lazy plan from earlier in the
+            # wave recomputes a cached partition that references it
+            try:
+                self._bloom_bc[1].unpersist(blocking=False)
+            except Exception:
+                pass
+        bloom = self.wh.read(self.spark, "bloom")
+        bitmap = {int(r["bucket"]): bytes(r["bits"]) for r in bloom.collect()}
+        bc = self.spark.sparkContext.broadcast(bitmap)
+        self._bloom_bc = (snap, bc)
+        return bc
+
     def _filter_unseen(self, df: DataFrame) -> DataFrame:
         """Drop rows whose url is in the seen set: Bloom prefilter
         (definitely-unseen rows skip the shuffle), exact anti-join only
@@ -181,8 +239,9 @@ class CrawlEngine:
             and total >= cfg.bloom_min_seen
             and self._bloom_covered() == total
         ):
-            bloom = self.wh.read(self.spark, "bloom")
-            probed = bloom_maybe_seen(df, bloom, **self._bloom_geometry())
+            probed = bloom_maybe_seen(
+                df, None, bitmap_bc=self._bloom_bitmap(), **self._bloom_geometry()
+            )
             definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybes = probed.filter("maybe_seen").drop("maybe_seen")
             return definite.unionByName(maybes.join(seen, "url", "left_anti"))
@@ -278,7 +337,7 @@ class CrawlEngine:
             | (F.length("html") <= cfg.max_content_bytes)
         )
         extracted = fetched.withColumn(
-            "ex", crawl_extract_udf("url", "html", "content_type")
+            "ex", self._extract_udf("url", "html", "content_type")
         ).persist()
         extracted.count()  # materialize: ONE extract pass feeds all branches
 
@@ -438,6 +497,12 @@ class CrawlEngine:
         mdf = spark.createDataFrame([vars(metrics)])
         wh.commit(mdf, "metrics", wave=wave)
 
+        # T8 retention: only the latest frontier/bloom snapshots matter
+        # for forward progress; history beyond keep_last is expired
+        if cfg.snapshot_keep_last:
+            wh.expire_snapshots("frontier", cfg.snapshot_keep_last)
+            wh.expire_snapshots("bloom", cfg.snapshot_keep_last)
+
         unseen.unpersist()
         selected.unpersist()
         extracted.unpersist()
@@ -445,6 +510,7 @@ class CrawlEngine:
 
     # -- loop ----------------------------------------------------------------
     def run(self, max_waves: int = 10) -> list[WaveMetrics]:
+        self.recover()  # roll back any partially-committed wave first
         out = []
         wave = self.next_wave
         for w in range(wave, wave + max_waves):

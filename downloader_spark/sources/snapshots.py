@@ -134,6 +134,27 @@ class SnapshotWarehouse:
             raise FileNotFoundError(f"table {table} has no snapshot {snap_id}")
         return spark.read.parquet(self._snap_dir(table, snap_id))
 
+    def rollback_above(self, table: str, wave: int) -> list[int]:
+        """Drop every snapshot committed for a wave LATER than ``wave``
+        (crash recovery: a wave's table commits are not atomic as a
+        group, so orphan snapshots from a partially-committed wave must
+        be rolled back before re-running it). Returns dropped ids."""
+        import shutil
+
+        meta = self._load_meta(table)
+        keep = [s for s in meta["snapshots"] if (s.get("wave") or 0) <= wave]
+        drop = [s for s in meta["snapshots"] if (s.get("wave") or 0) > wave]
+        if not drop:
+            return []
+        meta["snapshots"] = keep
+        meta["current"] = keep[-1]["id"] if keep else None
+        self._store_meta(table, meta)
+        dropped = []
+        for s in drop:
+            shutil.rmtree(self._snap_dir(table, s["id"]), ignore_errors=True)
+            dropped.append(s["id"])
+        return dropped
+
     def expire_snapshots(self, table: str, keep_last: int) -> list[int]:
         """TTL analog (reference Redis setex 24h, job_manager.py:62):
         drop all but the newest ``keep_last`` snapshots."""

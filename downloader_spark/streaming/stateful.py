@@ -30,7 +30,9 @@ def _update_totals(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, round(total, 6)))
+    # full precision lives in the STATE; rounding only at emission —
+    # rounding the stored value would compound error per micro-batch
+    state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
     )
