@@ -96,4 +96,67 @@ CORPUS: dict[str, tuple[bytes, str]] = {
         b"<html><body><p>Fish &amp; chips &lt;now&gt; &#8212; ok</p></body></html>",
         "text/html",
     ),
+    "comments_everywhere": (
+        b"<html><!-- head comment --><body><!-- before --><p>Visible"
+        b"<!-- inline --> text</p><!-- after --></body></html>",
+        "text/html",
+    ),
+    "mixed_case_tags": (
+        b"<HTML><BODY><ARTICLE><H1>Caps</H1><P>Mixed CASE tags.</P>"
+        b"</ARTICLE></BODY></HTML>",
+        "text/html",
+    ),
+    "duplicate_attrs": (
+        b'<html><body><div class="content" class="other"><p>First attr wins.</p>'
+        b"</div></body></html>",
+        "text/html",
+    ),
+    "entity_in_attr": (
+        b'<html><body><p><a href="/x?a=1&amp;b=2">link &copy; here</a></p></body></html>',
+        "text/html",
+    ),
+    "nested_pre_in_article": (
+        b"<html><body><article><p>Before</p><pre><code class=\"language-sql\">"
+        b"SELECT *\n  FROM t\n WHERE x &lt; 2</code></pre><p>After</p>"
+        b"</article></body></html>",
+        "text/html",
+    ),
+    "stray_close_tags": (
+        b"<html><body></div></span><p>Still fine</p></article></body></html>",
+        "text/html",
+    ),
+    "attr_no_value": (
+        b"<html><body><details open><summary>Click</summary><p>Hidden text</p>"
+        b"</details><input disabled></body></html>",
+        "text/html",
+    ),
+    "script_with_lt": (
+        b"<html><body><script>if (a < b && c > d) { x('</div>'); }</script>"
+        b"<p>Real text only.</p></body></html>",
+        "text/html",
+    ),
+    "table_in_list": (
+        b"<html><body><ul><li>Item<table><tr><td>T1</td></tr></table></li>"
+        b"<li>Next</li></ul></body></html>",
+        "text/html",
+    ),
+    "huge_attribute": (
+        b'<html><body><div data-blob="' + b"x" * 5000 + b'"><p>Payload page.</p>'
+        b"</div></body></html>",
+        "text/html",
+    ),
+    "null_bytes": (
+        b"<html><body><p>Null\x00byte page</p></body></html>",
+        "text/html",
+    ),
+    "bom_prefix": (
+        b"\xef\xbb\xbf<html><body><p>BOM page</p></body></html>",
+        "text/html",
+    ),
+    "only_doctype": (b"<!DOCTYPE html>", "text/html"),
+    "xhtml_self_closing": (
+        b'<html><body><p>Line one<br/>line two</p><img src="/x.png" alt="pic"/>'
+        b"</body></html>",
+        "text/html",
+    ),
 }
