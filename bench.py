@@ -35,6 +35,11 @@ HEADLINE = [
     "seen_antijoin",
     "fetch_join",
     "wave_metrics",
+    "response_p95",
+    "detect_lang_counts",
+    "windowed_counts",
+    "multi_accept",
+    "embedding_knn",
     "extract_lang_profile",
 ]
 
