@@ -974,3 +974,29 @@ def q_exec_history_offset(spark, sf_dir):
     """O1 ZREVRANGE paging with start offset (storage.py:112-133)."""
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
     return history_page(ev, "ts", limit=50, offset=100, tiebreak="event_id")
+
+
+@_q(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_json_props_stats(spark, sf_dir):
+    """JSON scalar extraction (SURVEY §2.8 json family): parse the
+    props JSON payload natively (get_json_object ≡ json_extract)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("long").alias("sum_k"),
+            F.max(k).cast("long").alias("max_k"),
+            F.count(k).cast("long").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
