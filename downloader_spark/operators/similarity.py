@@ -105,36 +105,53 @@ def hyperplane_signature(
     return out
 
 
+#: exact path refuses inputs larger than this (see embedding_near_dups)
+MAX_EXACT_ROWS = 50_000
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int | None = None,
-    n_planes: int | None = None,
+    n_planes: int = 16,
+    exact: bool = False,
     round_to: int = 6,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
     Candidate generation:
-    - exact (default): self-join on a trivial bucket → only used when
-      n_planes is None; O(n²) compare but no Python, fine for verify
-      paths and test scale;
-    - LSH (n_planes set): hyperplane-signature bucket join — the scale
+    - LSH (the DEFAULT): hyperplane-signature bucket join — the scale
       path; pairs in different buckets are missed (recall<1), standard
-      for embedding dedup at 100 TB.
+      for embedding dedup at 100 TB. ``dim`` is probed from the first
+      row when not given.
+    - exact (``exact=True``, opt-in): O(n²) theta self-join
+      (BroadcastNestedLoopJoin). This is the oracle/verify baseline
+      ONLY — it refuses inputs above MAX_EXACT_ROWS so the natural
+      entry point can never silently run a cartesian product at scale.
     Returns (id_a, id_b, cosine) with id_a < id_b.
     """
     cand = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    if n_planes is not None:
+    if exact:
+        n = cand.count()
+        if n > MAX_EXACT_ROWS:
+            raise ValueError(
+                f"exact=True is the O(n²) verify baseline; input has {n} rows "
+                f"(> {MAX_EXACT_ROWS}). Use the default LSH path at scale."
+            )
+        join_cond = [F.col("l._id") < F.col("r._id")]
+    else:
         if dim is None:
-            raise ValueError("dim required for LSH candidate generation")
+            first = cand.select(F.size("_v").alias("d")).first()
+            if first is None:
+                dim = 1  # empty input: any plane width yields zero pairs
+            else:
+                dim = int(first["d"])
         cand = cand.withColumn(
             "_sig", hyperplane_signature(F.col("_v"), dim, n_planes)
         )
         join_cond = [F.col("l._sig") == F.col("r._sig"), F.col("l._id") < F.col("r._id")]
-    else:
-        join_cond = [F.col("l._id") < F.col("r._id")]
     l, r = cand.alias("l"), cand.alias("r")
     paired = l.join(r, on=join_cond)
     sim = _dot(F.col("l._v"), F.col("r._v")) / (

@@ -467,8 +467,79 @@ def q_extract_lang_profile(spark, sf_dir):
     )
 
 
-@_q("url_canonicalize")
+@_q(
+    "url_canonicalize",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'HTTP://Example' || doc_id || '.COM:80/a?b=2&a=1#frag'
+               WHEN 1 THEN 'example' || doc_id || '.org/path/'
+               WHEN 2 THEN 'https://site' || doc_id || '.net:443/x'
+               WHEN 3 THEN 'file:///etc/passwd'
+               ELSE 'http://10.0.0.' || (doc_id % 256) || '/x' END AS url
+      FROM documents
+    ), norm AS (
+      SELECT doc_id, url,
+             CASE WHEN regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                  THEN url ELSE 'http://' || url END AS u
+      FROM urls
+    ), parts AS (
+      SELECT doc_id, url, u,
+             lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+             regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             regexp_extract(u, '^[^?#]*\\?([^#]*)', 1) AS query
+      FROM norm
+    ), hp AS (
+      SELECT *,
+             CASE WHEN contains(auth, ':')
+                  THEN regexp_extract(auth, '^([^:]*)', 1) ELSE auth END AS hostp,
+             CASE WHEN regexp_matches(auth, ':[0-9]+$')
+                  THEN CAST(regexp_extract(auth, ':([0-9]+)$', 1) AS INT)
+                  ELSE NULL END AS port
+      FROM parts
+    ), cls AS (
+      SELECT *,
+             CASE
+               WHEN scheme = 'file' THEN 'file_scheme'
+               WHEN scheme NOT IN ('http', 'https') THEN 'non_http_scheme'
+               WHEN hostp = '' THEN 'no_hostname'
+               WHEN NOT regexp_matches(hostp, '^[a-zA-Z0-9._-]+$') THEN 'bad_hostname'
+               WHEN regexp_matches(hostp, '^[0-9.]+$')
+                    AND regexp_matches(hostp, '^127\\.') THEN 'ssrf_loopback'
+               WHEN regexp_matches(hostp, '^[0-9.]+$')
+                    AND regexp_matches(hostp,
+                        '^(10\\.|192\\.168\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.)')
+                    THEN 'ssrf_private'
+               ELSE '' END AS reason
+      FROM hp
+    )
+    SELECT doc_id, url,
+           CASE WHEN reason <> '' THEN '' ELSE
+             scheme || '://' || hostp ||
+             CASE WHEN port IS NULL
+                    OR (scheme = 'http' AND port = 80)
+                    OR (scheme = 'https' AND port = 443)
+                  THEN '' ELSE ':' || port END ||
+             CASE WHEN path = '' THEN '/' ELSE path END ||
+             CASE WHEN query = '' THEN ''
+                  ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END
+           END AS url_canonical,
+           CASE WHEN reason <> '' THEN '' ELSE hostp END AS host,
+           reason = '' AS valid,
+           reason
+    FROM cls
+    """,
+)
 def q_url_canonicalize(spark, sf_dir):
+    """P1 canonicalization through the full canonicalize_udf (lowercase
+    scheme+host, strip default port, drop fragment, sort query params,
+    collapse empty path — urlnorm.py:137-171), oracled by a DuckDB
+    string-transform mirror covering the SQL-expressible slice these
+    generated inputs exercise; the full python semantics (IPv6
+    brackets, bad ports, every SSRF category) stay pinned by
+    tests/test_urlnorm.py."""
     from .functions.udfs import canonicalize_udf
 
     docs = _t(spark, sf_dir, "documents")
@@ -541,32 +612,108 @@ def q_embedding_knn_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Near-dup dedup family (rows-only: xxhash64-based, no DuckDB equivalent)
+# Near-dup dedup family — each emits a DuckDB-checkable invariant:
+# exact text-level Jaccard (minhash/ngram) or exact-text equality
+# (simhash); the hash-internal values stay pinned by pytest recomputes.
 # ---------------------------------------------------------------------------
 
-@_q("minhash_near_dups")
+# Exact word-3-gram Jaccard ≥ 0.5 over all document pairs sharing a
+# gram — mirrors shingles() in operators/dedup.py (lowercase, collapse
+# whitespace, distinct k-grams, whole-text fallback below k words).
+_JACCARD_ORACLE = """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, t, string_split(t, ' ') AS w FROM norm
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [t] END AS gs
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS n_common,
+             ANY_VALUE(a.n) AS n_a, ANY_VALUE(b.n) AS n_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (n_a + n_b - n_common), 6) AS jaccard
+    FROM pairs
+    WHERE ROUND(n_common * 1.0 / (n_a + n_b - n_common), 6) >= 0.5
+"""
+
+
+@_q("minhash_near_dups", _JACCARD_ORACLE)
 def q_minhash_near_dups(spark, sf_dir):
-    from .operators.dedup import minhash_lsh_pairs
+    """MinHash-LSH candidates verified by EXACT shingle Jaccard — with
+    single-row bands the candidate recall at J ≥ 0.5 is 1−(1−J)^32
+    (≥ 1−2.4e-10), so the output equals an exact all-pairs recompute
+    and the DuckDB oracle is a hard check on the whole LSH pipeline."""
+    from .operators.dedup import minhash_verified_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, "doc_id", F.col("text"), num_hashes=32, bands=8,
-        shingle_k=3, jaccard_threshold=0.5,
+    return minhash_verified_pairs(
+        docs, "doc_id", F.col("text"), num_hashes=32, bands=32,
+        shingle_k=3, threshold=0.5,
     ).orderBy("id_a", "id_b")
 
 
-@_q("simhash_near_dups")
+@_q(
+    "simhash_near_dups",
+    """
+    WITH seeded AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+    ), norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM seeded
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+    FROM norm a JOIN norm b ON a.t = b.t AND a.doc_id < b.doc_id
+    """,
+)
 def q_simhash_near_dups(spark, sf_dir):
+    """SimHash candidates (Hamming ≤ 3 via 16-bit-block pigeonhole)
+    restricted to the DuckDB-checkable invariant: identical normalized
+    texts ALWAYS collide (identical shingle multiset → identical
+    simhash → hamming 0 → same blocks). Every 25th document is unioned
+    back verbatim so the invariant checks real pairs (the corpus has no
+    organic exact dups at sf0.01). Hamming-distance values for
+    non-identical pairs stay pinned by tests/test_dedup.py against a
+    pure-python simhash recompute."""
     from .operators.dedup import simhash_near_dups
 
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, "doc_id", F.col("text"), max_hamming=3).orderBy(
-        "id_a", "id_b"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    pairs = simhash_near_dups(seeded, "doc_id", F.col("text"), max_hamming=3)
+    norm = seeded.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("t"),
+    )
+    return (
+        pairs.join(norm.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta")), "id_a")
+        .join(norm.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb")), "id_b")
+        .filter(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
     )
 
 
-@_q("ngram_jaccard_dups")
+@_q("ngram_jaccard_dups", _JACCARD_ORACLE)
 def q_ngram_jaccard_dups(spark, sf_dir):
+    """Exact word-3-gram Jaccard via inverted-index join (hashed grams,
+    stop-gram guard inert at this scale: max df 500 < max_df 1000)."""
     from .operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -646,7 +793,9 @@ def q_text_stats(spark, sf_dir):
 
 @_q("doc_fingerprints")
 def q_doc_fingerprints(spark, sf_dir):
-    """Rolling-hash document fingerprints (xxhash64 — rows-only)."""
+    """Rolling-hash document fingerprints (raw xxhash64 values — no
+    DuckDB equivalent; pinned by tests/test_similarity_text.py). The
+    oracled invariant over the same function is fingerprint_groups."""
     from .functions.text import fingerprint64, quality_score
 
     docs = _t(spark, sf_dir, "documents")
@@ -654,6 +803,43 @@ def q_doc_fingerprints(spark, sf_dir):
         "doc_id",
         fingerprint64(F.col("text")).alias("fingerprint"),
         quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@_q(
+    "fingerprint_groups",
+    """
+    WITH seeded AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM seeded GROUP BY md5(text) ORDER BY keeper
+    """,
+)
+def q_fingerprint_groups(spark, sf_dir):
+    """DuckDB-checkable invariant for fingerprint64: the grouping it
+    induces must equal grouping by exact text (identical text → same
+    fingerprint by construction; distinct texts collide with prob
+    ~n²/2⁶⁴). Every 25th doc is unioned back verbatim so groups with
+    n_docs > 1 exist (no organic exact dups at sf0.01)."""
+    from .functions.text import fingerprint64
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        seeded.groupBy(fingerprint64(F.col("text")).alias("_fp"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select("keeper", "n_docs")
+        .orderBy("keeper")
     )
 
 
@@ -748,7 +934,10 @@ def q_windowed_counts(spark, sf_dir):
 )
 def q_json_envelope(spark, sf_dir):
     """C6 JSON+base64 envelope (content_processor.py:187-207) — fully
-    native to_json(struct)+base64."""
+    native to_json(struct)+base64 (unchunked, matching the reference's
+    b64encode — Spark's base64() MIME-chunks past 57 bytes)."""
+    from .operators.formats import _b64
+
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -760,7 +949,7 @@ def q_json_envelope(spark, sf_dir):
                 F.col("lang").alias("lang"),
             )
         ).alias("envelope"),
-        F.base64(F.encode(F.substring("text", 1, 32), "UTF-8")).alias("content_b64"),
+        _b64(F.encode(F.substring("text", 1, 32), "UTF-8")).alias("content_b64"),
     )
 
 
@@ -776,26 +965,35 @@ def q_json_envelope(spark, sf_dir):
                ELSE 'application/json' END AS accept
       FROM documents
     ), exploded AS (
-      SELECT doc_id, u.pos, u.mime FROM (
+      SELECT doc_id, u.pos, u.fmt FROM (
         SELECT doc_id,
                unnest(list_transform(regexp_split_to_array(accept, ','),
                       (x, i) -> struct_pack(
                         pos := i,
-                        mime := trim(regexp_replace(x, ';.*$', ''))))) AS u
+                        fmt := CASE lower(trim(regexp_replace(x, ';.*$', '')))
+                          WHEN 'text/plain' THEN 'text'
+                          WHEN 'text/html' THEN 'html'
+                          WHEN 'text/markdown' THEN 'markdown'
+                          WHEN 'text/x-markdown' THEN 'markdown'
+                          WHEN 'application/pdf' THEN 'pdf'
+                          WHEN 'application/json' THEN 'json'
+                          END))) AS u
         FROM hdr
-      )
+      ) WHERE u.fmt IS NOT NULL
     ), first_pos AS (
-      SELECT doc_id, mime, MIN(pos) AS pos FROM exploded GROUP BY doc_id, mime
+      SELECT doc_id, fmt, MIN(pos) AS pos FROM exploded GROUP BY doc_id, fmt
     )
-    SELECT doc_id, mime,
+    SELECT doc_id, fmt,
            CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS ord
     FROM first_pos
     """,
 )
 def q_multi_accept(spark, sf_dir):
-    """P5 multi-accept parse: split, strip ;q params, dedupe preserving
-    first-occurrence order (content_processor.py:81-140)."""
-    from pyspark.sql import Window
+    """P5 multi-accept parse → FORMAT TOKENS: split, strip ;q params,
+    map exact media types to formats, drop unsupported (the */* row),
+    dedupe preserving first-occurrence order — the full
+    parse_accept_headers semantics (content_processor.py:81-140)."""
+    from .operators.formats import parse_accepts
 
     docs = _t(spark, sf_dir, "documents")
     m = F.col("doc_id") % 4
@@ -805,18 +1003,9 @@ def q_multi_accept(spark, sf_dir):
         .when(m == 2, "application/pdf, */*;q=0.1")
         .otherwise("application/json")
     )
-    exploded = docs.select(
-        "doc_id", F.posexplode(F.split(accept, ",")).alias("pos0", "raw")
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.trim(F.regexp_replace("raw", r";.*$", "")).alias("mime"),
-    )
-    first_pos = exploded.groupBy("doc_id", "mime").agg(F.min("pos").alias("pos"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return first_pos.select(
-        "doc_id", "mime", F.row_number().over(w).cast("long").alias("ord")
-    )
+    return docs.select(
+        "doc_id", F.posexplode(parse_accepts(accept)).alias("pos0", "fmt")
+    ).select("doc_id", "fmt", (F.col("pos0") + 1).cast("long").alias("ord"))
 
 
 # ---------------------------------------------------------------------------
@@ -841,66 +1030,148 @@ def q_media_features(spark, sf_dir):
 @_q(
     "embedding_near_dups",
     """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(
-             list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(a.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(b.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND(
-             list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(a.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(b.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.99
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), seeded AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.25 ELSE x END)
+      FROM base WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+      FROM seeded a JOIN seeded b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
     """,
 )
 def q_embedding_near_dups(spark, sf_dir):
-    """Exact embedding near-dup pairs (cosine ≥ 0.99). The LSH variant
-    is the scale path (embedding_near_dups_lsh, rows-only)."""
+    """Exact embedding near-dup pairs (cosine ≥ 0.9), opting in to the
+    size-guarded O(n²) verify baseline (exact=True). Every 50th vector
+    is unioned back with a deterministic perturbation (+0.25 on the
+    first component, cosine ≈ 0.99 to its source) so the oracle checks
+    REAL pairs — the raw synthetic corpus is near-orthogonal and would
+    verify an empty set. The LSH path is the scale default
+    (embedding_near_dups_lsh)."""
     from .operators.similarity import embedding_near_dups
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.99)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.25)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return embedding_near_dups(emb.unionByName(pert), threshold=0.9, exact=True)
 
 
 @_q("embedding_near_dups_lsh")
 def q_embedding_near_dups_lsh(spark, sf_dir):
+    """LSH-bucketed near-dups (the scale default; hash-bucket candidate
+    generation has no DuckDB equivalent → rows-only). Low threshold +
+    few planes so the near-orthogonal synthetic embeddings still
+    produce candidate pairs worth returning."""
     from .operators.similarity import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
-    first = emb.select(F.size("embedding").alias("d")).first()
-    # low threshold + few planes so the synthetic (near-orthogonal)
-    # embeddings still produce candidate pairs worth returning
-    return embedding_near_dups(
-        emb, threshold=0.3, dim=int(first["d"]), n_planes=4
+    return embedding_near_dups(emb, threshold=0.3, n_planes=4)
+
+
+@_q(
+    "multi_format_fanout",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             'http://' || source || '.example/doc/' || doc_id AS url,
+             '<html><head><title>Doc ' || doc_id
+               || '</title></head><body><article><h1>Doc ' || doc_id
+               || '</h1><p>'
+               || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+                          '>', '&gt;')
+               || '</p></article></body></html>' AS html
+      FROM documents
+    ), fan AS (
+      SELECT doc_id, url, html,
+             unnest(CASE doc_id % 3
+               WHEN 0 THEN ['text', 'markdown']
+               WHEN 1 THEN ['json', 'raw', 'pdf']
+               ELSE ['html', 'text'] END) AS format
+      FROM pages
     )
-
-
-@_q("multi_format_fanout")
+    SELECT url, format,
+           CASE format
+             WHEN 'text' THEN 'text/plain'
+             WHEN 'markdown' THEN 'text/markdown'
+             WHEN 'html' THEN 'text/html'
+             WHEN 'json' THEN 'application/json'
+             WHEN 'raw' THEN 'application/octet-stream'
+             WHEN 'pdf' THEN 'application/pdf' END AS mime,
+           CASE WHEN format = 'pdf' THEN 'unsupported_format' END AS error_type,
+           CASE format
+             WHEN 'html' THEN CAST(length(html) AS INT)
+             WHEN 'raw' THEN CAST(length(to_base64(encode(html))) AS INT)
+             WHEN 'json' THEN CAST(length(
+               '{"success":true,"url":"' || url || '","size":'
+               || octet_length(encode(html)) || ',"content":"'
+               || to_base64(encode(html)) || '"}') AS INT)
+             END AS payload_len,
+           format <> 'pdf' AS has_payload
+    FROM fan
+    """,
+)
 def q_multi_format_fanout(spark, sf_dir):
     """C7: one scan → N format payloads per page + typed error rows for
-    browser-bound formats (pdf)."""
+    browser-bound formats (pdf). Pages are built from documents with a
+    NATIVE html template so DuckDB can mirror the fan-out structure and
+    the html/json/raw payload lengths exactly; text/markdown payload
+    bytes go through the extract UDF (has_payload proves they
+    materialize) and their exact values are pinned by the byte-parity
+    extraction tests — not SQL-expressible."""
     from .functions.udfs import extract_udf
     from .operators.formats import multi_format_results
-    from .sources.pagegen import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir)
-    m = F.xxhash64("url") % 3
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    html_str = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title></head><body><article><h1>Doc "), did,
+        F.lit("</h1><p>"), esc, F.lit("</p></article></body></html>"),
+    )
+    url = F.concat(F.lit("http://"), "source", F.lit(".example/doc/"), did)
+    m = F.col("doc_id") % 3
     formats = (
         F.when(m == 0, F.array(F.lit("text"), F.lit("markdown")))
         .when(m == 1, F.array(F.lit("json"), F.lit("raw"), F.lit("pdf")))
         .otherwise(F.array(F.lit("html"), F.lit("text")))
     )
-    extracted = pages.withColumn(
-        "ex", extract_udf("url", "html", F.lit("text/html"))
-    ).withColumn("formats", formats)
+    pages = docs.select(
+        url.alias("url"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        formats.alias("formats"),
+    )
+    extracted = pages.withColumn("ex", extract_udf("url", "html", F.lit("text/html")))
     return multi_format_results(extracted).select(
-        "url", "format", "mime", F.length("payload").alias("payload_len"), "error_type"
+        "url", "format", "mime", "error_type",
+        F.when(
+            F.col("format").isin("html", "json", "raw"), F.length("payload")
+        ).otherwise(F.lit(None).cast("int")).alias("payload_len"),
+        F.col("payload").isNotNull().alias("has_payload"),
     )
 
 

@@ -92,3 +92,62 @@ def test_ngram_jaccard_exact_values(spark, docs):
     expected = round(len(g1 & g3) / len(g1 | g3), 6)
     assert pairs[(1, 3)] == expected
     assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_with_hot_gram(spark):
+    """Hot grams (df > max_df) are dropped on BOTH sides of the Jaccard:
+    the estimate must equal a python recompute over retained grams
+    (the pre-fix code counted denominators before the stop-gram drop,
+    silently underestimating J for docs containing hot grams)."""
+    import re
+
+    hot = "common shared boilerplate footer"  # one 4-word window → hot 3-grams
+    rows = [(i, f"{hot} unique{i} filler{i} trailing{i} words{i} here{i}") for i in range(8)]
+    rows += [(100, hot + " alpha beta gamma delta epsilon"),
+             (101, hot + " alpha beta gamma delta zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    max_df = 5  # the grams inside `hot` appear in all 10 docs → dropped
+
+    def grams(t, k=3):
+        w = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)} if len(w) >= k else {t}
+
+    from collections import Counter
+
+    all_g = Counter(g for _, t in rows for g in grams(t))
+    kept = {i: {g for g in grams(t) if all_g[g] <= max_df} for i, t in rows}
+    expected = round(len(kept[100] & kept[101]) / len(kept[100] | kept[101]), 6)
+    assert expected > 0.5  # hot-gram drop must not hide the pair
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", F.col("text"), k=3, threshold=0.3, max_df=max_df
+        ).collect()
+    }
+    assert pairs[(100, 101)] == expected
+
+
+def test_minhash_verified_pairs_exact_jaccard(spark, docs):
+    """Verified pairs carry EXACT shingle Jaccard (not the estimate) and
+    single-row bands find every pair above threshold."""
+    import re
+
+    from downloader_spark.operators.dedup import minhash_verified_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_verified_pairs(
+            docs, "doc_id", F.col("text"), num_hashes=32, bands=32,
+            shingle_k=3, threshold=0.1,
+        ).collect()
+    }
+
+    def grams(t, k=3):
+        w = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)} if len(w) >= k else {t}
+
+    g1, g3 = grams(BASE), grams(NEAR)
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == round(len(g1 & g3) / len(g1 | g3), 6)
+    assert not any(4 in p for p in pairs)

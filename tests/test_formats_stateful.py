@@ -118,3 +118,26 @@ class TestStatefulTotals:
         }
         for uid in both:
             assert got[uid] == want[uid], uid
+
+
+def test_parse_accepts_mapping(spark):
+    """P5 parse_accept_headers parity (content_processor.py:81-140):
+    exact media-type → format mapping, unsupported dropped, ;q stripped,
+    order-preserving dedupe."""
+    import pyspark.sql.functions as F
+
+    from downloader_spark.operators.formats import parse_accepts
+
+    cases = [
+        ("text/html, application/json;q=0.9, text/html", ["html", "json"]),
+        ("text/markdown;q=0.8, text/plain, text/x-markdown", ["markdown", "text"]),
+        ("application/pdf, */*;q=0.1", ["pdf"]),  # */* unsupported → dropped
+        ("*/*", []),
+        ("TEXT/HTML", ["html"]),  # case-insensitive
+        (" text/plain ; q=0.5 ,application/json", ["text", "json"]),
+        ("image/png, video/mp4", []),  # all unsupported
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i int, accept string")
+    got = {r["i"]: r["fmts"] for r in df.select("i", parse_accepts(F.col("accept")).alias("fmts")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)

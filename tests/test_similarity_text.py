@@ -103,3 +103,28 @@ def test_quality_and_fingerprint(spark):
     # fingerprint is deterministic
     again = df.select(fingerprint64(F.col("text")).alias("f")).collect()
     assert {r["f"] for r in again} == {got[1][1], got[2][1]}
+
+
+def test_embedding_near_dups_default_is_lsh_and_exact_is_guarded(spark, vecs):
+    """The natural entry point must never be the O(n²) path: default is
+    LSH (no dim needed — probed), and exact=True refuses large inputs."""
+    from downloader_spark.operators import similarity
+    from downloader_spark.operators.similarity import embedding_near_dups
+
+    df, _ = vecs
+    lsh = embedding_near_dups(df, threshold=0.9)
+    exact = embedding_near_dups(df, threshold=0.9, exact=True)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert lsh_pairs <= exact_pairs  # LSH can only miss, never invent
+
+    # exact plan is a nested loop — must refuse above the size guard
+    old = similarity.MAX_EXACT_ROWS
+    similarity.MAX_EXACT_ROWS = 2
+    try:
+        import pytest
+
+        with pytest.raises(ValueError, match="exact"):
+            embedding_near_dups(df, exact=True)
+    finally:
+        similarity.MAX_EXACT_ROWS = old
