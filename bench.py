@@ -3,9 +3,10 @@
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Also measures the crawl-pipeline throughput metric from BASELINE.json
-(pages fetched-and-converted/sec) and, with --scaling, the two-cluster
-stand-in: the same extract job at local[8] vs local[32] with scaling
-efficiency (driver instruction; BASELINE.md "Rebuild targets").
+(pages fetched-and-converted/sec) and — always, unless --no-scaling —
+the two-cluster stand-in: the same extract job at local[4] vs local[16]
+with scaling efficiency (driver instruction; BASELINE.md "Rebuild
+targets"; see CLAUDE.md for why NOT local[32]).
 """
 
 from __future__ import annotations
@@ -45,15 +46,25 @@ HEADLINE = [
 
 
 def _run_queries(spark, names, sf_dir):
+    from pyspark.sql import functions as F
+
     from downloader_spark.queries import Q
 
     times = {}
     for name in names:
         t0 = time.monotonic()
         df = Q[name](spark, sf_dir)
-        n = df.count()  # force full execution
+        # force evaluation of EVERY output column — count() lets Catalyst
+        # prune unused projections, timing projection-heavy queries as a
+        # bare parquet row-count scan
+        out = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: ANSI mode (Spark 4 default) raises on
+            # long-sum overflow; xor forces the same evaluation
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        ).collect()
         times[name] = round(time.monotonic() - t0, 4)
-        assert n >= 0
+        assert out[0]["n"] >= 0
     return times
 
 
@@ -190,6 +201,66 @@ def _frontier_plan_throughput(spark, n_frontier=2_000_000, n_seen=1_000_000, n_h
     }
 
 
+def _bloom_probe_throughput(spark, n_cand=2_000_000, n_seen=1_000_000):
+    """Seen-filter probe rate: broadcast vs bucket-local (cogroup), and
+    the cogroup probe again at a 64×-bigger bitmap (2 GiB — past
+    comfortable driver-collect+broadcast size; the geometry a 10^10-URL
+    seen set needs). The scale claim is that the bucket-local rate
+    survives the 64× growth (VERDICT r1 item 3)."""
+    from pyspark.sql import functions as F
+
+    from downloader_spark.plans.bloom import (
+        bloom_maybe_seen,
+        bloom_maybe_seen_cogroup,
+        build_bloom,
+    )
+
+    def urls():
+        return F.concat(
+            F.lit("http://site"),
+            F.pmod(F.xxhash64("id"), F.lit(50_000)).cast("string"),
+            F.lit(".example/p/"),
+            F.col("id").cast("string"),
+        )
+
+    cand = spark.range(n_cand).select(urls().alias("url")).cache()
+    seen = spark.range(0, n_seen * 2, 2).select(urls().alias("url")).cache()
+    cand.count(), seen.count()
+
+    # the 2 GiB probe pays a FIXED bitmap-shuffle cost per probe, so its
+    # per-url rate is measured on a 4× candidate set (a 10^10-seen crawl
+    # has 10^8-row waves; the fixed cost amortizes — measured 0.13M/s at
+    # 2M cands vs 1.0M/s at 8M on this host)
+    big = spark.range(4 * n_cand).select(urls().alias("url")).cache()
+    big.count()
+    geos = {
+        "broadcast_32MiB": (False, cand, n_cand, dict(num_buckets=64, bits_per_bucket=1 << 22, num_hashes=5)),
+        "cogroup_32MiB": (True, cand, n_cand, dict(num_buckets=64, bits_per_bucket=1 << 22, num_hashes=5)),
+        "cogroup_2GiB_64x": (True, big, 4 * n_cand, dict(num_buckets=512, bits_per_bucket=1 << 25, num_hashes=5)),
+    }
+    out = {}
+    for label, (cogroup, probe_set, n_probe, geo) in geos.items():
+        bloom = build_bloom(seen, **geo).cache()
+        bloom.count()
+        t0 = time.monotonic()
+        probed = (
+            bloom_maybe_seen_cogroup(probe_set, bloom, **geo)
+            if cogroup
+            else bloom_maybe_seen(probe_set, bloom, **geo)
+        )
+        n_maybe = probed.filter("maybe_seen").count()
+        dt = time.monotonic() - t0
+        out[label] = {
+            "bitmap_mib": geo["num_buckets"] * geo["bits_per_bucket"] // 8 // (1 << 20),
+            "n_probed": n_probe,
+            "probe_urls_per_sec": round(n_probe / dt, 2),
+            "maybe_seen": n_maybe,
+        }
+        bloom.unpersist()
+    cand.unpersist(), seen.unpersist(), big.unpersist()
+    return out
+
+
 def _session(cores):
     from downloader_spark.session import get_spark
 
@@ -198,7 +269,10 @@ def _session(cores):
 
 
 def main() -> None:
-    scaling = "--scaling" in sys.argv
+    # scaling evidence is ALWAYS measured (the per-round BENCH artifact
+    # must self-carry the two-parallelism-levels criterion);
+    # --no-scaling opts out for quick iteration loops
+    scaling = "--no-scaling" not in sys.argv
 
     spark = _session(CPUS)
     t_all0 = time.monotonic()
@@ -209,6 +283,7 @@ def main() -> None:
 
     crawl = _crawl_throughput(spark)
     frontier_plan = _frontier_plan_throughput(spark)
+    bloom_probe = _bloom_probe_throughput(spark)
 
     result = {
         "metric": "headline query wall-clock + crawl throughput",
@@ -221,6 +296,7 @@ def main() -> None:
         "n_pages": n_pages,
         "crawl": crawl,
         "frontier_plan": frontier_plan,
+        "bloom_probe": bloom_probe,
     }
 
     if scaling:

@@ -108,10 +108,10 @@ def bloom_maybe_seen(
     the probe is a fully vectorized numpy bit-test inside mapInPandas —
     never join the bitmap blobs onto the candidate rows (a per-row
     512 KB blob through Arrow turns a 2M-row probe into a 1 TB
-    transfer; measured 100× slower). If the filter ever outgrows
-    broadcast size (multi-GB), switch to co-partitioning candidates by
-    bucket and mapPartitions against bucket-local bitmap files — same
-    probe arithmetic. Rows with maybe_seen=false are DEFINITELY unseen.
+    transfer; measured 100× slower). When the filter outgrows broadcast
+    size (multi-GB), use bloom_maybe_seen_cogroup — bucket-local probe,
+    same arithmetic, no driver collect. Rows with maybe_seen=false are
+    DEFINITELY unseen.
     """
     m, k = bits_per_bucket, num_hashes
     if bitmap_bc is not None:
@@ -163,6 +163,67 @@ def bloom_maybe_seen(
             yield out
 
     return with_keys.mapInPandas(probe, schema=out_schema)
+
+
+def bloom_maybe_seen_cogroup(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    url_col: str = "url",
+    num_buckets: int = 16,
+    bits_per_bucket: int = 1 << 17,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Bucket-local probe — the scale path past broadcast size.
+
+    At 10^10 seen URLs a useful filter is 10+ GB: too big to collect to
+    the driver and broadcast (bloom_maybe_seen's pattern). Here the
+    candidates shuffle ONCE on their bucket key and each bucket's
+    bitmap arrives in the task EXACTLY ONCE via cogroup — per-task
+    memory is a single bucket's bitmap, and total bitmap bytes moved is
+    one copy of the filter regardless of candidate count (never join
+    the blob per candidate row — the 44×-slower failure mode,
+    BASELINE.md "frontier planning"). Probe arithmetic is shared with
+    the broadcast path (_positions); outputs are identical —
+    tests/test_bloom.py asserts equality on a multi-bucket geometry.
+    """
+    m, k = bits_per_bucket, num_hashes
+    h1c, h2c = _hash_cols(url_col)
+    with_keys = (
+        candidates.withColumn(
+            "_bucket", F.pmod(F.xxhash64(url_col), F.lit(num_buckets)).cast("int")
+        )
+        .withColumn("_h1", h1c)
+        .withColumn("_h2", h2c)
+    )
+    out_fields = [
+        f for f in with_keys.schema.fields if f.name not in ("_bucket", "_h1", "_h2")
+    ]
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+    out_schema += ", maybe_seen boolean"
+    keep = [f.name for f in out_fields]
+
+    def probe(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(cand_pdf)
+        res = np.zeros(n, dtype=bool)
+        if n and len(bloom_pdf):
+            bits = np.frombuffer(bloom_pdf["bits"].iloc[0], dtype=np.uint8)
+            h1 = cand_pdf["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = cand_pdf["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            pos = _positions(h1, h2, k, m)
+            hit = (
+                bits[(pos >> np.uint64(3)).astype(np.int64)]
+                & (1 << (pos & np.uint64(7))).astype(np.uint8)
+            ) != 0
+            res = hit.all(axis=1)
+        out = cand_pdf[keep].copy()
+        out["maybe_seen"] = res
+        return out
+
+    return (
+        with_keys.groupBy("_bucket")
+        .cogroup(bloom.groupBy("bucket"))
+        .applyInPandas(probe, schema=out_schema)
+    )
 
 
 def bloom_contains_py(

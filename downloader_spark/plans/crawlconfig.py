@@ -40,6 +40,12 @@ class CrawlConfig:
     bloom_num_hashes: int = 5
     bloom_num_buckets: int = 16
     use_bloom: bool = True
+    # 'broadcast': bitmaps collected once per snapshot and shipped per
+    # executor — right while the filter fits comfortably in driver +
+    # executor memory. 'cogroup': bucket-local probe (bloom.py), no
+    # driver collect — REQUIRED at 10^10-URL geometry where the filter
+    # is multi-GB. Same probe arithmetic, identical outputs.
+    bloom_probe: str = "broadcast"
     broadcast_robots: bool = True  # flip off beyond ~10^7 hosts
     dedupe_pages: bool = True  # drop duplicate url captures (latest wins)
     # below this seen-set size the exact broadcast anti-join beats the

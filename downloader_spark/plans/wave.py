@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import canonicalize_udf, make_crawl_extract_udf
 from ..sources.snapshots import SnapshotWarehouse
-from .bloom import bloom_maybe_seen, build_bloom, merge_blooms
+from .bloom import bloom_maybe_seen, bloom_maybe_seen_cogroup, build_bloom, merge_blooms
 from .crawlconfig import CrawlConfig
 from .politeness import build_robots_dim, with_politeness
 
@@ -102,9 +102,38 @@ class CrawlEngine:
                 .drop("_rn")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
+        # keep the handle the persist() was taken on — unpersisting a
+        # derived select() would not release the cached parent
+        self._pages_base = pages
         self.pages = pages.select("url", "html", "content_type")
+        self._pages_persisted = self.cfg.dedupe_pages
         self._extract_udf = make_crawl_extract_udf(self.cfg.max_links_per_page)
         self._bloom_bc: tuple[int, object] | None = None
+
+    def close(self) -> None:
+        """Release engine-held executor state: the deduped-pages cache
+        and the current bloom broadcast. Without this, a driver that
+        builds several engines (tests, bench, notebook loops)
+        accumulates one cached pages table + one bitmap copy per
+        engine for the session's lifetime. Idempotent."""
+        if self._pages_persisted:
+            try:
+                self._pages_base.unpersist(blocking=False)
+            except Exception:
+                pass
+            self._pages_persisted = False
+        if self._bloom_bc is not None:
+            try:
+                self._bloom_bc[1].unpersist(blocking=False)
+            except Exception:
+                pass
+            self._bloom_bc = None
+
+    def __enter__(self) -> "CrawlEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     # -- bootstrap -----------------------------------------------------------
     def init(self, seeds: list[str]) -> None:
@@ -190,18 +219,44 @@ class CrawlEngine:
         return dropped
 
     # -- seen-set helpers (incremental; never rewrite history) ---------------
+    def _live_seen_snaps(self) -> list[dict]:
+        """Snapshots that make up the CURRENT seen set: a compaction
+        snapshot supersedes everything before it, so reads start at the
+        latest one. Superseded snapshots may still exist on disk — they
+        are kept until the wave's metrics commit marker lands (crash
+        recovery rolls the compaction back and must find them) and
+        expired afterwards by _gc_seen."""
+        snaps = self.wh.snapshots("seen")
+        for i in range(len(snaps) - 1, -1, -1):
+            if snaps[i].get("kind") == "compaction":
+                return snaps[i:]
+        return snaps
+
     def _seen_total(self) -> int:
-        return sum(s["n_rows"] for s in self.wh.snapshots("seen"))
+        return sum(s["n_rows"] for s in self._live_seen_snaps())
 
     def read_seen(self) -> DataFrame:
-        """Union of all seen snapshots (append-only table). Compacted
-        every cfg.seen_compact_every waves so the union stays shallow."""
-        snaps = self.wh.snapshots("seen")
+        """Union of the live seen snapshots (append-only table,
+        compacted every cfg.seen_compact_every waves so the union stays
+        shallow)."""
+        snaps = self._live_seen_snaps()
         dfs = [self.wh.read(self.spark, "seen", s["id"]) for s in snaps]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def _gc_seen(self) -> None:
+        """Expire seen snapshots superseded by a compaction — called
+        ONLY after a metrics commit marker covers the compaction. A
+        crash before the marker rolls the compaction back (recover),
+        so the superseded history must survive until then (expiring
+        inside _append_seen would physically delete the pre-wave seen
+        set that recovery needs — the entire crawl's seen state)."""
+        snaps = self.wh.snapshots("seen")
+        live = self._live_seen_snaps()
+        if len(live) < len(snaps):
+            self.wh.expire_snapshots("seen", keep_last=len(live))
 
     def _bloom_geometry(self) -> dict:
         cfg = self.cfg
@@ -247,9 +302,16 @@ class CrawlEngine:
             and total >= cfg.bloom_min_seen
             and self._bloom_covered() == total
         ):
-            probed = bloom_maybe_seen(
-                df, None, bitmap_bc=self._bloom_bitmap(), **self._bloom_geometry()
-            )
+            if cfg.bloom_probe == "cogroup":
+                # bucket-local path: no driver collect — the only probe
+                # that works once the filter is multi-GB (10^10 URLs)
+                probed = bloom_maybe_seen_cogroup(
+                    df, self.wh.read(self.spark, "bloom"), **self._bloom_geometry()
+                )
+            else:
+                probed = bloom_maybe_seen(
+                    df, None, bitmap_bc=self._bloom_bitmap(), **self._bloom_geometry()
+                )
             definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybes = probed.filter("maybe_seen").drop("maybe_seen")
             return definite.unionByName(maybes.join(seen, "url", "left_anti"))
@@ -278,13 +340,14 @@ class CrawlEngine:
             else:  # threshold crossing (or stale): one full build
                 new_bloom = build_bloom(self.read_seen(), **self._bloom_geometry())
             wh.commit(new_bloom, "bloom", wave=wave, extra={"covered": total_after})
-        # periodic compaction keeps the snapshot union shallow
-        if len(wh.snapshots("seen")) >= cfg.seen_compact_every:
+        # periodic compaction keeps the snapshot union shallow; the
+        # superseded snapshots are expired by _gc_seen AFTER this
+        # wave's metrics commit marker (never here — see _gc_seen)
+        if len(self._live_seen_snaps()) >= cfg.seen_compact_every:
             compacted = self.read_seen().repartition(
                 self._n_shuffle(), F.pmod(F.xxhash64("url"), F.lit(cfg.num_host_buckets))
             )
             wh.commit(compacted, "seen", wave=wave, extra={"kind": "compaction"})
-            wh.expire_snapshots("seen", keep_last=1)  # compacted snap holds all
         return self._seen_total()
 
     # -- one wave --------------------------------------------------------------
@@ -504,6 +567,11 @@ class CrawlEngine:
         )
         mdf = spark.createDataFrame([vars(metrics)])
         wh.commit(mdf, "metrics", wave=wave)
+
+        # the metrics commit marker is durable: NOW superseded seen
+        # history can be reclaimed (also sweeps leftovers if an earlier
+        # run crashed between its marker and its gc)
+        self._gc_seen()
 
         # T8 retention: only the latest frontier/bloom snapshots matter
         # for forward progress; history beyond keep_last is expired

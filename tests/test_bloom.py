@@ -52,3 +52,35 @@ def test_merge_is_union(spark):
     bits = {r["bucket"]: bytes(r["bits"]) for r in merged.collect()}
     for u in a_urls + b_urls:
         assert bloom_contains_py(bits, u, **GEO), u
+
+
+def test_cogroup_probe_equals_broadcast_probe(spark):
+    """The bucket-local (cogroup) probe and the broadcast probe are the
+    same filter: identical maybe_seen for every row on a multi-bucket
+    geometry, including buckets with no candidates and candidates whose
+    bucket has no bitmap row."""
+    from downloader_spark.plans.bloom import bloom_maybe_seen_cogroup
+
+    geo = dict(num_buckets=8, bits_per_bucket=1 << 12, num_hashes=4)
+    seen = spark.createDataFrame(
+        [(f"http://h{i % 13}.example/s/{i}",) for i in range(400)], "url string"
+    )
+    cands = spark.createDataFrame(
+        [(f"http://h{i % 13}.example/s/{i}",) for i in range(0, 800, 2)]
+        + [(f"http://new{i}.example/x",) for i in range(100)],
+        "url string",
+    )
+    bloom = build_bloom(seen, **geo).cache()
+    # drop one bucket's bitmap row entirely: candidates hashed there
+    # must come back definitely-unseen on BOTH paths
+    bloom_partial = bloom.filter("bucket <> 3")
+
+    for b in (bloom, bloom_partial):
+        bc = {(r["url"]): r["maybe_seen"] for r in bloom_maybe_seen(cands, b, **geo).collect()}
+        cg = {(r["url"]): r["maybe_seen"] for r in bloom_maybe_seen_cogroup(cands, b, **geo).collect()}
+        assert bc == cg
+        # no false negatives on the full bitmap
+        if b is bloom:
+            for i in range(0, 400, 2):
+                assert bc[f"http://h{i % 13}.example/s/{i}"] is True
+    bloom.unpersist()
