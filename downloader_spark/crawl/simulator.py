@@ -28,6 +28,7 @@ class SimResult:
     # (wave, host, rank, url) for every SELECTED url, in selection order
     statuses: dict[str, str] = field(default_factory=dict)  # url -> final status
     texts: dict[str, str] = field(default_factory=dict)  # url -> extracted text
+    headers: dict[str, dict | None] = field(default_factory=dict)  # url -> custom_headers at fetch
     seen: set[str] = field(default_factory=set)
     wave_counts: list[dict] = field(default_factory=list)
 
@@ -54,15 +55,16 @@ def simulate_crawl(
             host = url.split("://", 1)[1].split("/", 1)[0]
             robots[host] = parse_robots(body.decode("utf-8", errors="ignore"))
 
-    # frontier: url -> [host, depth, score, attempt]
+    # frontier: url -> [host, depth, score, attempt, custom_headers]
     frontier: dict[str, list] = {}
     for s in seeds:
-        c = canonicalize_url(s)
+        url_in, hdrs = (s, None) if isinstance(s, str) else (s[0], dict(s[1]) if s[1] else None)
+        c = canonicalize_url(url_in)
         if not c.valid:
-            res.statuses[s] = "invalid"
+            res.statuses[url_in] = "invalid"
             continue
         if c.url not in frontier:
-            frontier[c.url] = [c.host, 0, cfg.score_base, 0]
+            frontier[c.url] = [c.host, 0, cfg.score_base, 0, hdrs]
 
     for wave in range(1, max_waves + 1):
         if not frontier:
@@ -95,7 +97,7 @@ def simulate_crawl(
 
         # per-host priority selection (score desc, depth asc, url asc)
         by_host: dict[str, list[str]] = {}
-        for url, (host, _d, _s, _a) in allowed.items():
+        for url, (host, _d, _s, _a, _h) in allowed.items():
             by_host.setdefault(host, []).append(url)
 
         selected: list[tuple[str, int]] = []  # (url, rank)
@@ -118,7 +120,8 @@ def simulate_crawl(
         discovered: dict[str, list] = {}
         retries: dict[str, list] = {}
         for url, _rank in selected:
-            host, depth, score, attempt = allowed[url]
+            host, depth, score, attempt, hdrs = allowed[url]
+            res.headers[url] = hdrs
             page = pages.get(url)
             if page is None:
                 if attempt + 1 >= cfg.max_attempts:
@@ -126,7 +129,7 @@ def simulate_crawl(
                     res.seen.add(url)
                     counts["n_failed"] += 1
                 else:
-                    retries[url] = [host, depth, score, attempt + 1]
+                    retries[url] = [host, depth, score, attempt + 1, hdrs]
                     res.statuses[url] = "missing_retry"
                     counts["n_missing_retry"] += 1
                 continue
@@ -152,11 +155,11 @@ def simulate_crawl(
                     s = cfg.score_for_depth(d)
                     prev = discovered.get(c.url)
                     if prev is None:
-                        discovered[c.url] = [c.host, d, s, 0]
+                        discovered[c.url] = [c.host, d, s, 0, None]
                     else:
                         # min depth → max score (same dedupe as the engine)
                         if d < prev[1]:
-                            discovered[c.url] = [c.host, d, s, 0]
+                            discovered[c.url] = [c.host, d, s, 0, None]
 
         # next frontier: deferred ∪ retries ∪ (discovered − seen)
         selected_urls = {u for u, _ in selected}
@@ -175,12 +178,14 @@ def simulate_crawl(
             if prev is None:
                 next_frontier[url] = row
             else:
-                # groupBy url: first(host), min(depth), max(score), max(attempt)
+                # groupBy url: first(host), min(depth), max(score),
+                # max(attempt), first non-null custom_headers
                 next_frontier[url] = [
                     prev[0],
                     min(prev[1], row[1]),
                     max(prev[2], row[2]),
                     max(prev[3], row[3]),
+                    prev[4] if prev[4] is not None else row[4],
                 ]
         counts["n_discovered"] = n_disc
         counts["n_frontier_out"] = len(next_frontier)

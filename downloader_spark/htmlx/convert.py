@@ -336,10 +336,18 @@ def _detect_from_root(
 
     # --- D2: should_use_playwright_for_html (:190-285)
     # cheap precheck: the page TEXT can only contain a js-required
-    # phrase if the raw markup contains "javascript" or "enable js"
-    # (text chars ⊆ markup chars) — skips the full get_text walk for
-    # the overwhelmingly common case
-    if raw_lower is None or "javascript" in raw_lower or "enable js" in raw_lower:
+    # phrase if the raw markup contains "javascript" or "enable js" —
+    # OR an entity reference ('&'): parse_html decodes charrefs, so
+    # e.g. '&#106;avascript' yields 'javascript' in text while the raw
+    # bytes contain neither phrase (text chars ⊆ markup chars only
+    # holds for entity-free markup). Skips the full get_text walk for
+    # the common entity-free case.
+    if (
+        raw_lower is None
+        or "&" in raw_lower
+        or "javascript" in raw_lower
+        or "enable js" in raw_lower
+    ):
         text_lower = root.get_text("").lower()
         js_phrase = any(p in text_lower for p in JS_REQUIRED_PATTERNS)
     else:

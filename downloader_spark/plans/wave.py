@@ -34,7 +34,14 @@ from .bloom import bloom_maybe_seen, bloom_maybe_seen_cogroup, build_bloom, merg
 from .crawlconfig import CrawlConfig
 from .politeness import build_robots_dim, with_politeness
 
-FRONTIER_SCHEMA = "url string, host string, depth int, score int, attempt int"
+# custom_headers: per-URL request headers (reference
+# BatchURLRequest.custom_headers, models/responses.py:37) — carried
+# frontier → fetch → results; discovered links get NULL (headers are a
+# per-request input, not inherited across links)
+FRONTIER_SCHEMA = (
+    "url string, host string, depth int, score int, attempt int, "
+    "custom_headers map<string,string>"
+)
 SEEN_SCHEMA = "url string"
 
 _RESULT_COLS = [
@@ -49,6 +56,7 @@ _RESULT_COLS = [
     "needs_render",
     "needs_js_render",
     "n_links",
+    "custom_headers",
 ]
 
 
@@ -136,13 +144,23 @@ class CrawlEngine:
         self.close()
 
     # -- bootstrap -----------------------------------------------------------
-    def init(self, seeds: list[str]) -> None:
-        """Seed the frontier (wave 0 state). Invalid seeds are recorded
-        as results rows with status 'invalid' (reference validate→400
-        analog, download.py:137-148)."""
+    def init(self, seeds: list) -> None:
+        """Seed the frontier (wave 0 state). Seeds are urls or
+        (url, custom_headers dict) pairs (reference
+        BatchURLRequest.custom_headers, models/responses.py:37).
+        Invalid seeds are recorded as results rows with status
+        'invalid' (reference validate→400 analog, download.py:137-148)."""
         cfg = self.cfg
-        seed_df = self.spark.createDataFrame([(s,) for s in seeds], "url string")
-        canon = seed_df.withColumn("c", canonicalize_udf("url")).select("url", "c.*")
+        rows = [
+            (s, None) if isinstance(s, str) else (s[0], dict(s[1]) if s[1] else None)
+            for s in seeds
+        ]
+        seed_df = self.spark.createDataFrame(
+            rows, "url string, custom_headers map<string,string>"
+        )
+        canon = seed_df.withColumn("c", canonicalize_udf("url")).select(
+            "url", "custom_headers", "c.*"
+        )
         valid = (
             canon.filter("valid")
             .select(
@@ -151,6 +169,7 @@ class CrawlEngine:
                 F.lit(0).alias("depth"),
                 F.lit(cfg.score_base).alias("score"),
                 F.lit(0).alias("attempt"),
+                "custom_headers",
             )
             .dropDuplicates(["url"])
         )
@@ -166,6 +185,7 @@ class CrawlEngine:
             F.lit(False).alias("needs_render"),
             F.lit(False).alias("needs_js_render"),
             F.lit(0).alias("n_links"),
+            F.col("custom_headers"),
         )
         frontier = valid.repartition(
             self._n_shuffle(len(seeds)),
@@ -360,17 +380,17 @@ class CrawlEngine:
         n_frontier_in = wh.snapshots("frontier")[-1]["n_rows"]
         robots = wh.read(spark, "robots")
 
-        # 1. URL-seen: Bloom prefilter + exact anti-join for the maybes.
-        #    Materialized NOW (count): every later branch (politeness,
-        #    deferred, seen-update) reads the cache instead of re-running
-        #    the probe — lazy persists under a multi-branch union
-        #    otherwise recompute the whole chain per branch (measured
-        #    ~6× wave wall-clock).
-        unseen = self._filter_unseen(frontier).persist()
-        n_unseen = unseen.count()
-
-        # 2. politeness: robots allow/deny + per-host budget
-        pol = with_politeness(unseen, robots, cfg)
+        # 1+2. URL-seen filter (Bloom prefilter + exact anti-join for the
+        #    maybes) THEN politeness (robots allow/deny + per-host
+        #    budget), persisted and materialized as ONE relation: every
+        #    later branch (denied results, terminal seen, deferred
+        #    frontier) reads this cache instead of re-running the probe
+        #    and the robots join — lazy persists under a multi-branch
+        #    union otherwise recompute the whole chain per branch
+        #    (measured ~6× wave wall-clock).
+        unseen = self._filter_unseen(frontier)
+        pol = with_politeness(unseen, robots, cfg).persist()
+        n_unseen = pol.count()
         denied = pol.filter(~F.col("allowed"))
         allowed = pol.filter("allowed")
 
@@ -395,24 +415,30 @@ class CrawlEngine:
             selected = selected.orderBy(*order).limit(cfg.max_urls_per_wave)
         selected = selected.persist()
 
-        # 4. fetch = join pages (S1 stand-in); size guard BEFORE the
-        #    extract UDF (never ship oversized payloads to Python —
-        #    reference 50 MB DoS guard, config.py:208-213)
-        fetched = selected.join(self.pages, "url", "left")
-        too_large = fetched.filter(
-            F.col("html").isNotNull()
-            & (F.length("html") > cfg.max_content_bytes)
-        ).select("url", "host", "depth", "rank")
-        fetched = fetched.filter(
-            F.col("html").isNull()
-            | (F.length("html") <= cfg.max_content_bytes)
+        # 4. fetch = join pages ONCE (S1 stand-in); oversized payloads
+        #    are MARKED as data and the extract UDF receives NULL html
+        #    for them — the size guard still keeps oversized bytes out
+        #    of Python (reference 50 MB DoS guard, config.py:208-213)
+        #    while ok/missing/too_large/terminal all read ONE persisted
+        #    relation (a separate too_large branch re-ran the pages
+        #    join inside every commit that referenced it).
+        fetched = selected.join(self.pages, "url", "left").withColumn(
+            "_too_large",
+            F.col("html").isNotNull() & (F.length("html") > cfg.max_content_bytes),
+        )
+        extract_in = (
+            F.when(F.col("_too_large"), F.lit(None).cast("binary"))
+            .otherwise(F.col("html"))
         )
         extracted = fetched.withColumn(
-            "ex", self._extract_udf("url", "html", "content_type")
+            "ex", self._extract_udf("url", extract_in, "content_type")
         ).persist()
         extracted.count()  # materialize: ONE extract pass feeds all branches
 
-        ok = extracted.filter(F.col("html").isNotNull()).select(
+        too_large = extracted.filter("_too_large").select(
+            "url", "host", "depth", "rank", "custom_headers"
+        )
+        ok = extracted.filter(F.col("html").isNotNull() & ~F.col("_too_large")).select(
             F.lit(wave).alias("wave"),
             "url",
             "host",
@@ -424,10 +450,11 @@ class CrawlEngine:
             F.col("ex.needs_render").alias("needs_render"),
             F.col("ex.needs_js_render").alias("needs_js_render"),
             F.size("ex.links").alias("n_links"),
+            F.col("custom_headers"),
             F.col("ex.links").alias("links"),
         )
         missing = extracted.filter(F.col("html").isNull()).select(
-            "url", "host", "depth", "score", "rank", "attempt"
+            "url", "host", "depth", "score", "rank", "attempt", "custom_headers"
         )
         retry = missing.filter(F.col("attempt") + 1 < cfg.max_attempts)
         failed = missing.filter(F.col("attempt") + 1 >= cfg.max_attempts)
@@ -445,6 +472,7 @@ class CrawlEngine:
                 F.lit(False).alias("needs_render"),
                 F.lit(False).alias("needs_js_render"),
                 F.lit(0).alias("n_links"),
+                F.col("custom_headers"),
             )
 
         denied_res = as_result(denied.withColumn("rank", F.lit(None).cast("int")), "robots_denied")
@@ -502,6 +530,9 @@ class CrawlEngine:
                 ).cast("int"),
             )
             .withColumn("attempt", F.lit(0))
+            .withColumn(
+                "custom_headers", F.lit(None).cast("map<string,string>")
+            )
         )
 
         # 6. seen ∪= terminal outcomes (ok, denied, failed) — APPENDED as
@@ -517,11 +548,14 @@ class CrawlEngine:
         # 7. next frontier = deferred ∪ retries ∪ (discovered − seen),
         #    deduped by url (min depth → max score; max attempt wins).
         #    n_discovered observed during the frontier write.
-        deferred = unseen.join(selected.select("url"), "url", "left_anti").join(
-            denied.select("url"), "url", "left_anti"
-        ).select("url", "host", "depth", "score", "attempt")
+        # deferred ≡ unseen − selected − denied ≡ allowed − selected
+        # (denied ∩ allowed = ∅, selected ⊆ allowed) — reads the pol cache
+        deferred = allowed.join(
+            selected.select("url"), "url", "left_anti"
+        ).select("url", "host", "depth", "score", "attempt", "custom_headers")
         retry_front = retry.select(
-            "url", "host", "depth", "score", (F.col("attempt") + 1).alias("attempt")
+            "url", "host", "depth", "score",
+            (F.col("attempt") + 1).alias("attempt"), "custom_headers",
         )
         obs_disc = Observation(f"disc-{wave}")
         discovered_new = self._filter_unseen(discovered).observe(
@@ -536,6 +570,9 @@ class CrawlEngine:
                 F.min("depth").alias("depth"),
                 F.max("score").alias("score"),
                 F.max("attempt").alias("attempt"),
+                # only one source row per url can carry headers (the
+                # deferred/retry row); discovered rows are always NULL
+                F.first("custom_headers", ignorenulls=True).alias("custom_headers"),
             )
             .repartition(
                 # estimate: deferred bounded by frontier_in; discovery
@@ -579,7 +616,7 @@ class CrawlEngine:
             wh.expire_snapshots("frontier", cfg.snapshot_keep_last)
             wh.expire_snapshots("bloom", cfg.snapshot_keep_last)
 
-        unseen.unpersist()
+        pol.unpersist()
         selected.unpersist()
         extracted.unpersist()
         return metrics

@@ -148,3 +148,44 @@ def test_resume_from_snapshot(spark, web, tmp_path_factory):
         for r in e3.all_results().filter(F.col("rank").isNotNull()).collect()
     }
     assert s1 == s2
+
+
+def test_custom_headers_carried_through(spark, web, tmp_path_factory):
+    """§1.1 custom_headers (reference models/responses.py:37): per-seed
+    headers ride frontier → fetch → results (including through a retry
+    re-enqueue); discovered links get NULL. Engine ≡ simulator."""
+    from downloader_spark.crawl.simulator import simulate_crawl
+
+    pages, page_map, _seeds = web
+    hdrs = {"X-Auth": "tok-1", "Accept-Language": "de"}
+    seeds = [
+        ("http://site0000.example/p/0", hdrs),
+        "http://site0001.example/p/0",
+        ("http://site0000.example/p/999", {"X-Retry": "yes"}),  # missing → retry
+    ]
+    cfg = CrawlConfig(wave_seconds=10, max_per_host_per_wave=5, max_depth=1)
+    eng = CrawlEngine(spark, str(tmp_path_factory.mktemp("wh_hdr")), pages, cfg)
+    eng.init(seeds)
+    eng.run(max_waves=4)
+    sim = simulate_crawl(page_map, seeds, cfg, max_waves=4)
+
+    rows = {
+        r["url"]: (r["status"], r["custom_headers"], r["wave"])
+        for r in eng.all_results().collect()
+    }
+    st, got_hdrs, _ = rows["http://site0000.example/p/0"]
+    assert st == "ok" and got_hdrs == hdrs
+    assert rows["http://site0001.example/p/0"][1] is None
+    # the missing seed retries max_attempts times, keeping its headers
+    st, got_hdrs, wave = rows["http://site0000.example/p/999"]
+    assert st == "failed" and got_hdrs == {"X-Retry": "yes"} and wave >= cfg.max_attempts
+    # engine ≡ simulator on headers observed at fetch time
+    for url, h in sim.headers.items():
+        assert rows[url][1] == h, url
+    # discovered (non-seed) results carry NULL headers
+    seed_urls = {"http://site0000.example/p/0", "http://site0001.example/p/0",
+                 "http://site0000.example/p/999"}
+    for url, (st_, h, _) in rows.items():
+        if url not in seed_urls:
+            assert h is None, url
+    eng.close()

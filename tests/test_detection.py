@@ -156,3 +156,36 @@ class TestScanConsistency:
             helper = _has_js_framework_markers(parse_html(content), body_text)
             scan_marker = scan.has_framework_marker and len(body_text) < 200
             assert scan_marker == helper, name
+
+
+class TestEntityEncodedJsPhrase:
+    """ADVICE r1: entity-encoded js-required phrases must still trigger —
+    parse_html decodes charrefs, so the raw-markup precheck is only
+    sound for entity-free markup."""
+
+    def test_entity_encoded_phrase_triggers(self):
+        meta = (
+            b'<meta property="og:title" content="t"/>'
+            b'<meta property="og:description" content="d"/>'
+        )
+        filler = b"<p>Plenty of regular static sentence content here.</p>" * 2000
+        html = (
+            b"<html><head>" + meta + b"</head><body><article>"
+            b"<p>Please enable &#106;avascript to continue.</p>" + filler
+            + b"</article></body></html>"
+        )
+        # big enough + has metadata: only the decoded phrase can trigger
+        assert b"javascript" not in html.lower()
+        assert detect_render_flags("http://x/", html, "text/html").needs_js_render
+
+    def test_amp_entity_alone_does_not_trigger(self):
+        meta = (
+            b'<meta property="og:title" content="t"/>'
+            b'<meta property="og:description" content="d"/>'
+        )
+        html = (
+            b"<html><head>" + meta + b"</head><body><article>"
+            + b"<p>Fish &amp; chips with several words here.</p>" * 2500
+            + b"</article></body></html>"
+        )
+        assert not detect_render_flags("http://x/", html, "text/html").needs_js_render
