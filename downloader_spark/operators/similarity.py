@@ -167,6 +167,123 @@ def embedding_near_dups(
     )
 
 
+def _sq_dist(v, cent: list[float]):
+    """Squared L2 distance between an array column and a python-literal
+    centroid — unrolled zip_with against F.array(lit...)."""
+    carr = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_centroids(v, centroids: list[list[float]], n: int = 1):
+    """Array of the n nearest centroid indices (by squared L2), nearest
+    first. Distances computed as one projection per centroid (k small —
+    keep k ≤ ~64: a per-centroid zip_with over dim elements; the
+    nested-HOF-per-permutation codegen blowup documented in
+    dedup.minhash_signatures applies here too)."""
+    pairs = F.array(
+        *[
+            F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.transform(F.array_sort(pairs), lambda p: p["i"]), 1, n)
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic mini-Lloyd over DataFrame ops (no pyspark.ml
+    VectorUDT round-trips, no RNG state): init = the k vectors with the
+    smallest xxhash64(id); each iteration assigns via argmin projection
+    and recomputes element-wise means with posexplode → two-level agg —
+    the shape that scales (the n×dim explode is one shuffle; at 100 TB
+    run the recompute on a sample). Only k×dim floats ever reach the
+    driver (same contract as ml.KMeans)."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    init = vecs.orderBy(F.xxhash64(F.col("_id").cast("string")), "_id").limit(k)
+    centroids = [list(r["_v"]) for r in init.collect()]
+    for _ in range(iters):
+        assigned = vecs.withColumn(
+            "_c", _nearest_centroids(F.col("_v"), centroids, 1)[0]
+        )
+        means = (
+            assigned.select("_c", F.posexplode("_v").alias("_p", "_x"))
+            .groupBy("_c", "_p")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_cent")
+            )
+            .collect()
+        )
+        new = {int(r["_c"]): list(r["_cent"]) for r in means}
+        # empty clusters keep their previous centroid (deterministic)
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: candidates inverted-listed by nearest
+    centroid; each query scores only its nprobe nearest lists. One
+    shuffle on the centroid id (at scale: bucket/partition the
+    candidate table by _c once, reuse across query batches). With
+    nprobe == n_centroids every list is probed and the result is
+    EXACTLY the brute-force top-k — the DuckDB-oracle-able
+    configuration that proves the inverted lists partition the
+    candidate set losslessly; recall at nprobe < n_centroids is the
+    standard IVF trade, pinned by tests."""
+    centroids = kmeans_centroids(
+        embeddings, vec_col, k=n_centroids, iters=iters, id_col=id_col
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+    ).withColumn("_c", _nearest_centroids(F.col("cvec"), centroids, 1)[0])
+    qry = queries.select(
+        "query_id", F.col(vec_col).alias("qvec")
+    ).withColumn(
+        "_probe", F.explode(_nearest_centroids(F.col("qvec"), centroids, nprobe))
+    )
+    paired = cand.join(qry, cand["_c"] == qry["_probe"]).filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("cvec"), F.col("qvec")) / (
+        _norm(F.col("cvec")) * _norm(F.col("qvec"))
+    )
+    scored = paired.select(
+        "query_id", "cand_id", F.round(sim, round_to).alias("cosine")
+    )
+    from .topk import per_key_topk
+
+    return per_key_topk(
+        scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k=k
+    ).select("query_id", "cand_id", "cosine", "rnk")
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

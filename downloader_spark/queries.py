@@ -561,9 +561,10 @@ def q_url_canonicalize(spark, sf_dir):
 # Similarity search
 # ---------------------------------------------------------------------------
 
-@_q(
-    "embedding_knn",
-    """
+# Exact brute-force top-5 by cosine for every 100th vector — shared by
+# embedding_knn (broadcast nested loop) and embedding_knn_ivf
+# (exhaustive-probe IVF): both must produce exactly this.
+_KNN_ORACLE = """
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
       WHERE vec_id % 100 = 0
@@ -583,8 +584,10 @@ def q_url_canonicalize(spark, sf_dir):
                                    ORDER BY cosine DESC, cand_id) AS rnk
       FROM scored
     ) WHERE rnk <= 5
-    """,
-)
+"""
+
+
+@_q("embedding_knn", _KNN_ORACLE)
 def q_embedding_knn(spark, sf_dir):
     """Brute-force exact ANN baseline (broadcast queries × candidate
     scan; native higher-order-function dot products)."""
@@ -595,6 +598,24 @@ def q_embedding_knn(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return cosine_topk(emb, queries_df, k=5)
+
+
+@_q("embedding_knn_ivf", _KNN_ORACLE)
+def q_embedding_knn_ivf(spark, sf_dir):
+    """IVF top-k probing EVERY inverted list (nprobe == n_centroids):
+    provably equal to brute force — the oracle proves the k-means
+    assignment partitions the candidate set losslessly. The approximate
+    configuration (nprobe < n_centroids, the actual scale path) is
+    pinned by tests/test_similarity_text.py recall bounds."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries_df, k=5, n_centroids=8, nprobe=8, iters=2
+    )
 
 
 @_q("embedding_knn_lsh")

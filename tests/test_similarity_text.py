@@ -128,3 +128,47 @@ def test_embedding_near_dups_default_is_lsh_and_exact_is_guarded(spark, vecs):
             embedding_near_dups(df, exact=True)
     finally:
         similarity.MAX_EXACT_ROWS = old
+
+
+def test_ivf_exhaustive_probe_equals_exact(vecs):
+    """nprobe == n_centroids probes every inverted list → must equal
+    brute force exactly (the inverted lists partition the candidates)."""
+    from downloader_spark.operators.similarity import cosine_topk, ivf_topk
+
+    df, _ = vecs
+    qry = df.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rnk"]): (r["cand_id"], r["cosine"])
+        for r in cosine_topk(df, qry, k=4).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rnk"]): (r["cand_id"], r["cosine"])
+        for r in ivf_topk(df, qry, k=4, n_centroids=6, nprobe=6, iters=2).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_approximate_recall(vecs):
+    """nprobe < n_centroids: results are a subset of the scored space
+    and rank-1 recall stays useful (each query's own cluster is always
+    probed, so very-near neighbors in the same cluster are found —
+    e.g. vec 10 is colinear with vec 0)."""
+    from downloader_spark.operators.similarity import cosine_topk, ivf_topk
+
+    df, _ = vecs
+    qry = df.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        r["query_id"]: r["cand_id"]
+        for r in cosine_topk(df, qry, k=1).collect()
+    }
+    approx = ivf_topk(df, qry, k=4, n_centroids=6, nprobe=2, iters=2)
+    rows = approx.collect()
+    assert all(r["cand_id"] != r["query_id"] for r in rows)
+    top1 = {r["query_id"]: r["cand_id"] for r in rows if r["rnk"] == 1}
+    # vec 10 = 2 * vec 0 (cosine 1.0): same direction lands in the same
+    # centroid cell, so query 0 must recover it even at nprobe=2
+    assert top1[0] == exact[0] == 10
