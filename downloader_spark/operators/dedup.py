@@ -66,21 +66,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """(_id, _sig array<long>) MinHash signatures.
 
-    Explode-then-hash-aggregate form: shingles exploded ONCE, the
-    num_hashes per-permutation minima computed as plain MIN aggregates
-    (map-side partial agg; tiny codegen). The hash family is
-    ``xxhash64(shingle, i)`` (Spark's multi-arg chained xxhash64) —
-    standard MinHash analysis applies, zero Python cost. The nested
-    higher-order-function formulation (array_min∘transform per
-    permutation) type-checks but compiles to a pathological expression
-    tree (>1 MiB codegen for 64 hashes) — measured 30-60s on 500 docs;
-    this form is <2s."""
+    Explode-then-hash-aggregate form: shingles exploded ONCE, each gram
+    string hashed to a LONG fingerprint ONCE, and the num_hashes
+    per-permutation minima computed as plain MIN aggregates over
+    ``xxhash64(fingerprint, i)`` (map-side partial agg; tiny codegen).
+    Hashing the 8-byte fingerprint per permutation instead of the gram
+    string keeps the permutation family off the string bytes (one
+    string hash per gram row, not num_hashes of them) — MinHash over
+    gram fingerprints is standard. The nested higher-order-function
+    formulation (array_min∘transform per permutation) type-checks but
+    compiles to a pathological expression tree (>1 MiB codegen for 64
+    hashes) — measured 30-60s on 500 docs; this form is <2s."""
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(text, shingle_k)).alias("_g"),
-    )
+    ).select("_id", F.xxhash64("_g").alias("_gl"))
     mins = [
-        F.min(F.xxhash64("_g", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+        F.min(F.xxhash64("_gl", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
     ]
     return grams.groupBy("_id").agg(*mins).select(
         "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
@@ -307,6 +309,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_band_candidates(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    num_hashes: int = 32,
+    bands: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from LSH banding alone — the
+    cheapest form of the bucket join: only (_id, band, bhash) is
+    shuffled (signature arrays stay OUT of the join; carrying them
+    doubles the shuffle payload for nothing when a later stage
+    recomputes exact similarity anyway)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text, num_hashes, shingle_k)
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("_sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bhash")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bhash") == F.col("r.bhash"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_verified_pairs(
     df: DataFrame,
     id_col: str,
@@ -319,21 +375,24 @@ def minhash_verified_pairs(
     """MinHash-LSH candidates verified by EXACT shingle Jaccard.
 
     The two-stage pattern every 100 TB dedup pipeline runs: cheap
-    hash-bucketed candidate generation (minhash_lsh_pairs with the
-    estimate filter disabled), then the exact set comparison only for
-    candidate pairs (array_intersect/array_union within the joined
-    rows — never all-pairs). With single-row bands (bands == num_hashes)
-    a pair at Jaccard J is missed with probability (1−J)^num_hashes —
-    ≤ 2.4e-10 at J=0.5, num_hashes=32 — which makes the output
-    DuckDB-oracle-checkable against an exact all-pairs recompute (the
-    driver's hard correctness signal for the MinHash family). At scale,
-    multi-row bands trade that recall for far smaller buckets.
+    hash-bucketed candidate generation (minhash_band_candidates), then
+    the exact set comparison only for candidate pairs
+    (array_intersect/array_union of HASHED gram arrays within the
+    joined rows — longs, not strings, and never all-pairs). With
+    single-row bands (bands == num_hashes) a pair at Jaccard J is
+    missed with probability (1−J)^num_hashes — ≤ 2.4e-10 at J=0.5,
+    num_hashes=32 — which makes the output DuckDB-oracle-checkable
+    against an exact all-pairs recompute (the driver's hard
+    correctness signal for the MinHash family). At scale, multi-row
+    bands trade that recall for far smaller buckets.
     """
-    cands = minhash_lsh_pairs(
-        df, id_col, text, num_hashes=num_hashes, bands=bands,
-        shingle_k=shingle_k, jaccard_threshold=0.0,
-    ).select("id_a", "id_b")
-    gs = df.select(F.col(id_col).alias("_gid"), shingles(text, shingle_k).alias("_gs"))
+    cands = minhash_band_candidates(
+        df, id_col, text, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+    )
+    gs = df.select(
+        F.col(id_col).alias("_gid"),
+        F.transform(shingles(text, shingle_k), lambda g: F.xxhash64(g)).alias("_gs"),
+    )
     a = gs.select(F.col("_gid").alias("id_a"), F.col("_gs").alias("_gsa"))
     b = gs.select(F.col("_gid").alias("id_b"), F.col("_gs").alias("_gsb"))
     joined = cands.join(a, "id_a").join(b, "id_b")

@@ -42,7 +42,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g cap (not a reservation): the multi-GB bloom-probe bench
+        # section OOMs an 8g heap in local mode where driver ≡ executors
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # JVM unified-logging warnings (gc,alloc under pressure) print
+        # to STDOUT by default — they would corrupt the one-JSON-line
+        # contract bench.py has with the driver; route them to stderr
+        .config("spark.driver.extraJavaOptions", "-Xlog:all=warning:stderr:uptime")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

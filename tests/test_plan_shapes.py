@@ -75,3 +75,46 @@ def test_extract_pipeline_is_arrow_eval(spark):
     # no row-at-a-time PythonUDF)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_fanout_single_arrow_eval(spark):
+    from downloader_spark.queries import Q
+
+    import re
+
+    plan = explain_str(Q["multi_format_fanout"](spark, SF_ORACLE))
+    # one scan → one Arrow UDF → explode; never a Python node per format
+    # ("formatted" prints each node twice: once in the tree, once in the
+    # detail section — count numbered detail entries)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    assert "Generate" in plan  # the format explode
+
+
+def test_ivf_join_is_hash_join_no_python(spark):
+    """The IVF probe joins candidate lists to query probes on the
+    centroid id — a hash join (broadcast or shuffled), never a
+    nested-loop, and the whole scoring path stays JVM-side."""
+    from pyspark.sql import functions as F
+
+    from downloader_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qry = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = explain_str(ivf_topk(emb, qry, k=3, n_centroids=4, nprobe=2, iters=1))
+    assert "HashJoin" in plan  # BroadcastHashJoin or ShuffledHashJoin
+    assert "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_near_dup_guard_means_lsh_default_no_nested_loop(spark):
+    """The DEFAULT embedding_near_dups path must be the LSH bucket join
+    — a nested-loop only appears in the opt-in exact verify path."""
+    from downloader_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    plan = explain_str(embedding_near_dups(emb, threshold=0.9, n_planes=8))
+    assert "NestedLoop" not in plan
+    assert "Join" in plan  # sig-bucket equi-join present

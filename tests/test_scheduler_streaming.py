@@ -158,3 +158,31 @@ class TestMultimodal:
             decode_image_stub(b"\x00" * 100)
         fake = decode_image_stub(b"\x00" * 100, deterministic_fake=True)
         assert fake.shape == (10, 10)
+
+    def test_media_feature_values_match_python_recompute(self, spark):
+        """Not just plumbing: n_bytes/mean/entropy/histogram must equal
+        a pure-python recompute over the same payload bytes (the
+        rows-only driver check for media_features leans on this)."""
+        import math
+
+        from downloader_spark.multimodal import (
+            media_features_udf,
+            synth_media_from_embeddings,
+        )
+
+        media = synth_media_from_embeddings(spark, "/root/testdata/sf0.001")
+        sample = media.limit(20)
+        payloads = {r["media_id"]: bytes(r["payload"]) for r in sample.collect()}
+        feats = {r["media_id"]: r for r in media_features_udf(sample).collect()}
+        for mid, blob in payloads.items():
+            n = len(blob)
+            hist = [0] * 16
+            for b in blob:
+                hist[b >> 4] += 1
+            mean = round(sum(blob) / n, 6)
+            ent = round(-sum((c / n) * math.log2(c / n) for c in hist if c), 6)
+            r = feats[mid]
+            assert r["n_bytes"] == n
+            assert r["byte_mean"] == mean
+            assert r["byte_entropy"] == ent
+            assert list(r["histogram"]) == hist
