@@ -15,6 +15,7 @@ from typing import Any, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
@@ -45,5 +46,86 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming URL-seen filter (the crawl frontier as a stream)
+# ---------------------------------------------------------------------------
+
+SEEN_FILTER_OUTPUT = "url string, first_seen boolean"
+
+
+def streaming_seen_filter(
+    url_stream: DataFrame,
+    url_col: str = "url",
+    num_buckets: int = 16,
+    bits_per_bucket: int = 1 << 17,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Streaming first-seen detection over an unbounded URL feed — the
+    batch engine's Bloom-before-anti-join (plans/bloom.py) re-expressed
+    as a stateful stream: the state store holds ONE Bloom bitmap per
+    ``pmod(xxhash64(url), num_buckets)`` bucket, updated per
+    micro-batch. Emits (url, first_seen); ``first_seen=false`` rows are
+    definite repeats within the stream's lifetime, ``true`` rows are new
+    except for the usual Bloom false-positive rate being marked false
+    (bound (1-e^{-kn/m})^k — size the geometry to the expected URL
+    count, exactly as the batch path does). Probe positions use the
+    identical double-hashing scheme, so the streaming and batch filters
+    agree bit-for-bit on the same geometry.
+
+    At scale this is the frontier-intake dedup: one state row per
+    bucket (bounded memory per key), no per-URL state rows, checkpoint
+    persistence across restarts for free.
+    """
+    import numpy as np
+
+    from ..plans.bloom import _positions
+
+    m, k = bits_per_bucket, num_hashes
+    F_ = F
+
+    def dedup(key, pdfs, state: GroupState):
+        arr = (
+            np.frombuffer(state.get[0], dtype=np.uint8).copy()
+            if state.exists
+            else np.zeros(m // 8, dtype=np.uint8)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            h1 = pdf["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = pdf["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            pos = _positions(h1, h2, k, m)  # (n, k)
+            byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+            bit_mask = (1 << (pos & np.uint64(7))).astype(np.uint8)
+            # fully vectorized: probe against the state AS OF BATCH
+            # START, then exact within-batch first-occurrence dedupe by
+            # url (strictly fewer false positives than a sequential
+            # probe-then-insert, which would let one url's inserted
+            # bits shadow another new url in the same batch)
+            in_state = ((arr[byte_idx] & bit_mask) != 0).all(axis=1)
+            first_in_batch = ~pdf["url"].duplicated().to_numpy()
+            first = first_in_batch & ~in_state
+            np.bitwise_or.at(arr, byte_idx.ravel(), bit_mask.ravel())
+            yield pd.DataFrame({"url": pdf["url"], "first_seen": first})
+        state.update((arr.tobytes(),))
+
+    from ..plans.bloom import _hash_cols
+
+    h1c, h2c = _hash_cols(url_col)
+    keyed = (
+        url_stream.select(F_.col(url_col).alias("url"))
+        .withColumn("_bucket", F_.pmod(F_.xxhash64("url"), F_.lit(num_buckets)).cast("int"))
+        .withColumn("_h1", h1c)
+        .withColumn("_h2", h2c)
+    )
+    return keyed.groupBy("_bucket").applyInPandasWithState(
+        dedup,
+        outputStructType=SEEN_FILTER_OUTPUT,
+        stateStructType="bits binary",
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

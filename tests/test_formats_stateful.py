@@ -141,3 +141,53 @@ def test_parse_accepts_mapping(spark):
     got = {r["i"]: r["fmts"] for r in df.select("i", parse_accepts(F.col("accept")).alias("fmts")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+class TestStreamingSeenFilter:
+    def test_first_seen_exactly_once_across_restart(self, spark, tmp_path):
+        """Streaming Bloom seen-filter: every distinct url is
+        first_seen exactly once across micro-batches AND across a
+        checkpoint restart; repeats (in-batch and cross-batch) are
+        flagged false. Geometry sized so FP=0 at test scale."""
+        from downloader_spark.streaming.stateful import streaming_seen_filter
+
+        urls1 = [(f"http://h{i % 7}.example/p/{i}",) for i in range(300)]
+        urls1 += urls1[:120]  # in-run repeats
+        urls2 = [(f"http://h{i % 7}.example/p/{i}",) for i in range(150, 450)]
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        df1 = spark.createDataFrame(urls1, "url string")
+        df1.write.mode("append").parquet(src)
+
+        emitted: list = []
+
+        def drain():
+            stream = spark.readStream.schema("url string").parquet(src)
+
+            def sink(batch_df, _bid):
+                emitted.extend(
+                    (r["url"], r["first_seen"]) for r in batch_df.collect()
+                )
+
+            q = (
+                streaming_seen_filter(
+                    stream, num_buckets=8, bits_per_bucket=1 << 16, num_hashes=5
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+
+        drain()
+        spark.createDataFrame(urls2, "url string").write.mode("append").parquet(src)
+        drain()  # resumes from checkpoint: run-1 urls must NOT re-emit as new
+
+        all_urls = {u for u, _ in emitted}
+        firsts = [u for u, f in emitted if f]
+        assert len(emitted) == len(urls1) + len(urls2)
+        assert sorted(firsts) == sorted(set(firsts)), "a url was first_seen twice"
+        assert set(firsts) == all_urls == {u for (u,) in urls1 + urls2}
