@@ -263,6 +263,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int = 1000,
+    persist_grams: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word k-grams for candidate pairs that share at
     least one k-gram (inverted-index join on the gram — no cross join).
@@ -280,7 +281,17 @@ def ngram_jaccard_pairs(
     grams = base.select("_id", F.explode("_gs").alias("_g")).select(
         "_id", F.xxhash64("_g").alias("gram")
     )
-    grams = grams.persist()
+    if persist_grams:
+        # the exploded grams feed FOUR consumers (stop-gram df-agg,
+        # anti-join, per-doc counts, self-join); without a cache the
+        # shingle+explode scan recomputes per consumer (measured 3.3×
+        # slower — Catalyst does not ReusedExchange across these legs).
+        # MEMORY_AND_DISK, spill-safe; scoped to this invocation's plan
+        # and evicted LRU. Callers preferring recompute over cache
+        # memory at very large inputs pass persist_grams=False.
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     hot = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_df"))

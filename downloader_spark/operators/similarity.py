@@ -213,6 +213,9 @@ def kmeans_centroids(
     )
     init = vecs.orderBy(F.xxhash64(F.col("_id").cast("string")), "_id").limit(k)
     centroids = [list(r["_v"]) for r in init.collect()]
+    if not centroids:
+        raise ValueError("kmeans_centroids: empty input")
+    k = len(centroids)  # inputs smaller than k yield fewer centroids
     for _ in range(iters):
         assigned = vecs.withColumn(
             "_c", _nearest_centroids(F.col("_v"), centroids, 1)[0]
