@@ -944,6 +944,117 @@ def q_windowed_counts(spark, sf_dir):
 
 
 @_q(
+    "user_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (streaming/events.sessionize run on a
+    bounded input — native session_window, T7): a session extends while
+    events arrive within the 30-min gap; end = last event + gap. The
+    DuckDB mirror derives the same sessions via lag + cumulative sum —
+    a hard check that session_window's [start, last+gap) semantics
+    match the standard SQL formulation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@_q(
+    "politeness_budgets",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             source || '-' || (doc_id % 97) || '.example' AS host,
+             doc_id % 97 AS hn,
+             CASE WHEN doc_id % 4 = 0 THEN '/private/' ELSE '/p/' END
+               || doc_id AS path
+      FROM documents
+    )
+    SELECT 'http://' || host || path AS url, host,
+           NOT (hn % 5 <> 0 AND hn % 3 = 0
+                AND starts_with(path, '/private/')) AS allowed,
+           CAST(CASE
+             WHEN (CASE WHEN hn % 5 = 0 THEN 1 ELSE hn % 7 END) <= 0 THEN 30
+             ELSE GREATEST(1, LEAST(30,
+                  CAST(FLOOR(30.0 / (CASE WHEN hn % 5 = 0 THEN 1 ELSE hn % 7 END)) AS INT)))
+           END AS INT) AS budget
+    FROM f
+    """,
+)
+def q_politeness_budgets(spark, sf_dir):
+    """T5 politeness through the REAL with_politeness operator (robots
+    allow/deny + per-host token budget = min(cap, wave_seconds/delay),
+    reference docs/features/downloader-core.md:39-50): hosts, delays,
+    and disallow rules synthesized deterministically from documents;
+    hosts with hn%5==0 have no robots row (default-allow, default
+    delay), hn%3==0 hosts disallow /private/."""
+    from .plans.crawlconfig import CrawlConfig
+    from .plans.politeness import with_politeness
+
+    docs = _t(spark, sf_dir, "documents")
+    hn = (F.col("doc_id") % 97).alias("hn")
+    host = F.concat(
+        "source", F.lit("-"), (F.col("doc_id") % 97).cast("string"), F.lit(".example")
+    )
+    path = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, "/private/").otherwise("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    frontier = docs.select(
+        F.concat(F.lit("http://"), host, path).alias("url"),
+        host.alias("host"),
+        F.lit(0).alias("depth"),
+        F.lit(100).alias("score"),
+        F.lit(0).alias("attempt"),
+    )
+    hosts = docs.select("source", hn).distinct()
+    robots = hosts.filter(F.col("hn") % 5 != 0).select(
+        F.concat(
+            "source", F.lit("-"), F.col("hn").cast("string"), F.lit(".example")
+        ).alias("host"),
+        (F.col("hn") % 7).cast("int").alias("crawl_delay"),
+        F.when(F.col("hn") % 3 == 0, F.array(F.lit("/private/")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("disallow"),
+        F.lit(True).alias("has_robots"),
+    )
+    cfg = CrawlConfig(wave_seconds=30, max_per_host_per_wave=30, default_crawl_delay=1)
+    return with_politeness(frontier, robots, cfg).select(
+        "url", "host", "allowed", "budget"
+    )
+
+
+@_q(
     "json_envelope",
     """
     SELECT doc_id,
