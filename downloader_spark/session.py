@@ -49,6 +49,12 @@ def get_spark(
         # to STDOUT by default — they would corrupt the one-JSON-line
         # contract bench.py has with the driver; route them to stderr
         .config("spark.driver.extraJavaOptions", "-Xlog:all=warning:stderr:uptime")
+        # saveAsTable target (bucketed pages corpus, sources/bucketed.py)
+        # — keep managed-table files out of the repo working directory
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

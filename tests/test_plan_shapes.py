@@ -118,3 +118,45 @@ def test_exact_near_dup_guard_means_lsh_default_no_nested_loop(spark):
     plan = explain_str(embedding_near_dups(emb, threshold=0.9, n_planes=8))
     assert "NestedLoop" not in plan
     assert "Join" in plan  # sig-bucket equi-join present
+
+
+def test_bucketed_pages_join_skips_pages_side_shuffle(spark):
+    """Co-located fetch join (SURVEY §4 / task prompt 'bucketing for
+    co-located joins'): joining a url-bucketed pages table on url must
+    show NO Exchange above the pages scan — only the frontier side
+    shuffles to match the bucket count. At 100 TB this is the decision
+    that keeps the corpus from re-shuffling every wave."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from downloader_spark.sources.bucketed import (
+        read_bucketed_pages,
+        write_bucketed_pages,
+    )
+    from downloader_spark.sources.pagegen import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_ORACLE).select("url", "html")
+    write_bucketed_pages(pages, table="t_pages_bucketed", buckets=8)
+    try:
+        bucketed = read_bucketed_pages(spark, "t_pages_bucketed")
+        frontier = spark.range(200).select(
+            F.concat(
+                F.lit("http://src"), (F.col("id") % 20).cast("string"),
+                (F.col("id") % 97).cast("string"), F.lit(".example/doc/"),
+                F.col("id").cast("string"),
+            ).alias("url")
+        )
+        # 'merge' hint: at a real frontier size this is a shuffle join
+        # anyway (a toy frontier would get broadcast, proving nothing)
+        joined = frontier.hint("merge").join(bucketed, "url")
+        plan = explain_str(joined)
+        # exactly ONE Exchange — the frontier side; the bucketed scan
+        # feeds its join leg with no shuffle (and no sort: bucket files
+        # are sortBy(url))
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges == 1, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0  # and it actually runs
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pages_bucketed")
