@@ -67,6 +67,18 @@ def parse_accepts(accept) -> Column:
     )
 
 
+def batch_request_status(n_urls, max_urls: int = 50) -> Column:
+    """P6 batch-size guard as data (reference BatchURLRequest:
+    models/responses.py:44 ``min_length=1, max_length=50`` → 422;
+    tests/api/test_batch_validation.py): a batch row becomes a typed
+    accept/reject status instead of an HTTP error."""
+    return (
+        F.when(n_urls < 1, "rejected_empty")
+        .when(n_urls > max_urls, "rejected_too_many")
+        .otherwise("accepted")
+    )
+
+
 def _mime_to_format(mime):
     out = F.lit(None).cast("string")
     for m, fmt in reversed(list(MIME_TO_FORMAT.items())):

@@ -944,6 +944,32 @@ def q_windowed_counts(spark, sf_dir):
 
 
 @_q(
+    "batch_validate",
+    """
+    SELECT doc_id AS batch_id,
+           CAST(doc_id % 71 AS INT) AS n_urls,
+           CASE WHEN doc_id % 71 < 1 THEN 'rejected_empty'
+                WHEN doc_id % 71 > 50 THEN 'rejected_too_many'
+                ELSE 'accepted' END AS status
+    FROM documents
+    """,
+)
+def q_batch_validate(spark, sf_dir):
+    """P6 batch-request guard (1..50 urls, reference
+    models/responses.py:44 + tests/api/test_batch_validation.py) as a
+    typed status column over synthetic batch sizes 0..70."""
+    from .operators.formats import batch_request_status
+
+    docs = _t(spark, sf_dir, "documents")
+    n_urls = (F.col("doc_id") % 71).cast("int")
+    return docs.select(
+        F.col("doc_id").alias("batch_id"),
+        n_urls.alias("n_urls"),
+        batch_request_status(n_urls).alias("status"),
+    )
+
+
+@_q(
     "user_sessions",
     """
     WITH o AS (
