@@ -320,6 +320,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_keepers(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 12,
+) -> DataFrame:
+    """(node, keeper) for every node in the pair graph: keeper = the
+    smallest id reachable through near-dup edges — the canonical-doc
+    choice a dedup pipeline makes AFTER pair generation (keep one doc
+    per connected component, drop the rest).
+
+    Iterative min-label propagation over DataFrame joins: each round a
+    node's label becomes min(own, neighbors'); converges in ≤ graph
+    diameter rounds (near-dup components are shallow — cliques and
+    short chains), checked by a per-round changed-count with a hard
+    ``max_iters`` stop. Per round: one join + one groupBy; labels are
+    persisted per round and the previous round unpersisted, so lineage
+    and cache stay O(1) in rounds. At extreme component sizes switch to
+    the large-star/small-star algorithm (same DataFrame primitives);
+    this direct form is the right cost for dedup-shaped graphs.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        prop = sym.join(labels, sym["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            "(component diameter exceeds the bound — use star-contraction)"
+        )
+    sym.unpersist()
+    # the converged labels stay persisted: the returned plan reads this
+    # cache (unpersisting here would force callers to recompute every
+    # propagation round); callers may .unpersist() the result when done
+    return labels.select("node", F.col("label").alias("keeper"))
+
+
 def minhash_band_candidates(
     df: DataFrame,
     id_col: str,

@@ -670,6 +670,38 @@ _JACCARD_ORACLE = """
 """
 
 
+@_q(
+    "near_dup_components",
+    f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM jp
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node, MIN(label) AS keeper FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def q_near_dup_components(spark, sf_dir):
+    """Dedup DECISION stage: connected components over the exact-Jaccard
+    near-dup pair graph — keeper = min doc_id reachable through edges
+    (keep one doc per component, drop the rest). Spark: iterative
+    min-label propagation (operators/dedup.connected_keepers); oracle:
+    DuckDB recursive-CTE reachability over the same pair set — a hard
+    check that the distributed propagation converges to true
+    components, chains included (A~B~C without A~C)."""
+    from .operators.dedup import connected_keepers, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", F.col("text"), k=3, threshold=0.5)
+    return connected_keepers(pairs).orderBy("node")
+
+
 @_q("minhash_near_dups", _JACCARD_ORACLE)
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash-LSH candidates verified by EXACT shingle Jaccard — with

@@ -151,3 +151,16 @@ def test_minhash_verified_pairs_exact_jaccard(spark, docs):
     assert pairs[(1, 2)] == 1.0
     assert pairs[(1, 3)] == round(len(g1 & g3) / len(g1 | g3), 6)
     assert not any(4 in p for p in pairs)
+
+
+def test_connected_keepers_chain_and_clique(spark):
+    """Min-label propagation: chains (A~B~C without A~C) resolve to one
+    component; disjoint pairs stay separate; convergence is detected."""
+    from downloader_spark.operators.dedup import connected_keepers
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["keeper"] for r in connected_keepers(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

@@ -191,3 +191,55 @@ class TestStreamingSeenFilter:
         assert len(emitted) == len(urls1) + len(urls2)
         assert sorted(firsts) == sorted(set(firsts)), "a url was first_seen twice"
         assert set(firsts) == all_urls == {u for (u,) in urls1 + urls2}
+
+
+def test_parse_accepts_randomized_python_parity(spark):
+    """400 seeded random Accept headers (junk tokens, q-params, casing,
+    whitespace, duplicates) through ONE Spark batch vs a pure-python
+    port of the reference algorithm (content_processor.py:81-140)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from downloader_spark.operators.formats import MIME_TO_FORMAT, parse_accepts
+
+    def py_parse(header: str) -> list[str]:
+        formats = []
+        for part in header.split(","):
+            media_type = part.strip().split(";")[0].strip().lower()
+            fmt = MIME_TO_FORMAT.get(media_type)
+            if fmt is not None:
+                formats.append(fmt)
+        seen, out = set(), []
+        for f in formats:
+            if f not in seen:
+                seen.add(f)
+                out.append(f)
+        return out
+
+    rng = random.Random(7)
+    tokens = list(MIME_TO_FORMAT) + [
+        "*/*", "image/png", "TEXT/HTML", "Text/Plain", "video/mp4",
+        "application/JSON", "text/markdown ", " application/pdf",
+    ]
+    headers = []
+    for _ in range(400):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            t = rng.choice(tokens)
+            if rng.random() < 0.4:
+                t += f";q={rng.random():.1f}"
+            if rng.random() < 0.3:
+                t = " " + t + "  "
+            parts.append(t)
+        headers.append(",".join(parts))
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(headers)], "i int, accept string"
+    )
+    got = {
+        r["i"]: list(r["fmts"])
+        for r in df.select("i", parse_accepts(F.col("accept")).alias("fmts")).collect()
+    }
+    for i, h in enumerate(headers):
+        assert got[i] == py_parse(h), (h, got[i], py_parse(h))
