@@ -116,6 +116,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     dim: int | None = None,
     n_planes: int = 16,
+    n_tables: int = 1,
     exact: bool = False,
     round_to: int = 6,
 ) -> DataFrame:
@@ -125,7 +126,8 @@ def embedding_near_dups(
     - LSH (the DEFAULT): hyperplane-signature bucket join — the scale
       path; pairs in different buckets are missed (recall<1), standard
       for embedding dedup at 100 TB. ``dim`` is probed from the first
-      row when not given.
+      row when not given; ``n_tables`` > 1 OR-amplifies recall with L
+      independent tables (still one shuffle, keyed (table, signature)).
     - exact (``exact=True``, opt-in): O(n²) theta self-join
       (BroadcastNestedLoopJoin). This is the oracle/verify baseline
       ONLY — it refuses inputs above MAX_EXACT_ROWS so the natural
@@ -141,6 +143,7 @@ def embedding_near_dups(
                 f"(> {MAX_EXACT_ROWS}). Use the default LSH path at scale."
             )
         join_cond = [F.col("l._id") < F.col("r._id")]
+        dedupe = False
     else:
         if dim is None:
             first = cand.select(F.size("_v").alias("d")).first()
@@ -148,23 +151,31 @@ def embedding_near_dups(
                 dim = 1  # empty input: any plane width yields zero pairs
             else:
                 dim = int(first["d"])
-        cand = cand.withColumn(
-            "_sig", hyperplane_signature(F.col("_v"), dim, n_planes)
-        )
-        join_cond = [F.col("l._sig") == F.col("r._sig"), F.col("l._id") < F.col("r._id")]
+        cand = cand.select(
+            "_id", "_v",
+            F.explode(
+                _multi_table_sigs(F.col("_v"), dim, n_planes, n_tables)
+            ).alias("_ts"),
+        ).select("_id", "_v", F.col("_ts.tbl").alias("_tbl"), F.col("_ts.sig").alias("_sig"))
+        join_cond = [
+            F.col("l._tbl") == F.col("r._tbl"),
+            F.col("l._sig") == F.col("r._sig"),
+            F.col("l._id") < F.col("r._id"),
+        ]
+        dedupe = n_tables > 1
     l, r = cand.alias("l"), cand.alias("r")
-    paired = l.join(r, on=join_cond)
-    sim = _dot(F.col("l._v"), F.col("r._v")) / (
-        _norm(F.col("l._v")) * _norm(F.col("r._v"))
+    paired = l.join(r, on=join_cond).select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        F.col("l._v").alias("_va"),
+        F.col("r._v").alias("_vb"),
     )
-    return (
-        paired.select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.round(sim, round_to).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    if dedupe:
+        paired = paired.dropDuplicates(["id_a", "id_b"])
+    sim = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return paired.select(
+        "id_a", "id_b", F.round(sim, round_to).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 def _sq_dist(v, cent: list[float]):
@@ -287,6 +298,22 @@ def ivf_topk(
     ).select("query_id", "cand_id", "cosine", "rnk")
 
 
+def _multi_table_sigs(vec, dim: int, n_planes: int, n_tables: int):
+    """Array of (table, signature) structs — L independent hyperplane
+    tables (seed offset per table). OR-amplification: a pair is a
+    candidate if ANY table buckets it together, recall
+    1−(1−p^planes)^L for match prob p per plane."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(vec, dim, n_planes, seed=42 + 1000 * t).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -295,22 +322,34 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 12,
+    n_tables: int = 1,
     round_to: int = 6,
 ) -> DataFrame:
     """Approximate top-k: candidates bucketed by hyperplane signature;
-    each query probes its own bucket only. Recall < 1 by design; the
-    trade is one bucket-key shuffle instead of a full scan per query."""
+    each query probes its own bucket(s) only. Recall < 1 by design; the
+    trade is one bucket-key shuffle instead of a full scan per query.
+    ``n_tables`` > 1 OR-amplifies recall with L independent tables
+    (candidate rows explode L×; the join key is (table, signature) so
+    it is still ONE shuffle)."""
     sig_c = embeddings.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cvec"),
-        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("sig"),
-    )
+        F.explode(
+            _multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)
+        ).alias("ts"),
+    ).select("cand_id", "cvec", "ts.tbl", "ts.sig")
     sig_q = queries.select(
         "query_id",
         F.col(vec_col).alias("qvec"),
-        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("sig"),
+        F.explode(
+            _multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)
+        ).alias("ts"),
+    ).select("query_id", "qvec", "ts.tbl", "ts.sig")
+    paired = (
+        sig_c.join(sig_q, ["tbl", "sig"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "cand_id"])
     )
-    paired = sig_c.join(sig_q, "sig").filter(F.col("cand_id") != F.col("query_id"))
     sim = _dot(F.col("cvec"), F.col("qvec")) / (
         _norm(F.col("cvec")) * _norm(F.col("qvec"))
     )

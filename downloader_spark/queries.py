@@ -629,7 +629,7 @@ def q_embedding_knn_lsh(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries_df, dim=dim, k=5, n_planes=8)
+    return lsh_topk(emb, queries_df, dim=dim, k=5, n_planes=8, n_tables=2)
 
 
 # ---------------------------------------------------------------------------
@@ -1273,7 +1273,7 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     from .operators.similarity import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.3, n_planes=4)
+    return embedding_near_dups(emb, threshold=0.3, n_planes=4, n_tables=2)
 
 
 @_q(

@@ -172,3 +172,26 @@ def test_ivf_approximate_recall(vecs):
     # vec 10 = 2 * vec 0 (cosine 1.0): same direction lands in the same
     # centroid cell, so query 0 must recover it even at nprobe=2
     assert top1[0] == exact[0] == 10
+
+
+def test_lsh_or_amplification_raises_recall(vecs):
+    """L independent hyperplane tables (OR-amplification): candidates
+    with n_tables=4 must be a superset of n_tables=1 and still a subset
+    of the exact pair space; results stay exact-cosine-scored."""
+    from downloader_spark.operators.similarity import embedding_near_dups, lsh_topk
+
+    df, _ = vecs
+    one = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dups(df, threshold=0.8, n_planes=10, n_tables=1).collect()}
+    four = {(r["id_a"], r["id_b"]) for r in
+            embedding_near_dups(df, threshold=0.8, n_planes=10, n_tables=4).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dups(df, threshold=0.8, exact=True).collect()}
+    assert one <= four <= exact
+
+    qry = df.filter("vec_id % 20 = 0").select(
+        df["vec_id"].alias("query_id"), "embedding"
+    )
+    t1 = lsh_topk(df, qry, dim=8, k=3, n_planes=10, n_tables=1).count()
+    t4 = lsh_topk(df, qry, dim=8, k=3, n_planes=10, n_tables=4).count()
+    assert t4 >= t1  # more tables → more (or equal) scored results
