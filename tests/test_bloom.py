@@ -84,3 +84,33 @@ def test_cogroup_probe_equals_broadcast_probe(spark):
             for i in range(0, 400, 2):
                 assert bc[f"http://h{i % 13}.example/s/{i}"] is True
     bloom.unpersist()
+
+
+def test_engine_cogroup_probe_mode_equals_broadcast_mode(spark, tmp_path):
+    """CrawlConfig.bloom_probe='cogroup' must crawl EXACTLY like the
+    broadcast mode: same statuses, same seen set, same wave metrics —
+    the probe path is an implementation detail of the seen filter."""
+    from downloader_spark.plans.crawlconfig import CrawlConfig
+    from downloader_spark.plans.wave import CrawlEngine
+    from downloader_spark.sources.pagegen import generate_web_graph
+
+    pages = generate_web_graph(spark, n_hosts=6, pages_per_host=10, seed=5)
+    seeds = [f"http://site{h:04d}.example/p/0" for h in range(6)]
+    runs = {}
+    for mode in ("broadcast", "cogroup"):
+        cfg = CrawlConfig(
+            wave_seconds=10, max_per_host_per_wave=4, max_depth=2,
+            bloom_min_seen=1, bloom_num_buckets=4,
+            bloom_bits_per_bucket=1 << 14, bloom_probe=mode,
+        )
+        eng = CrawlEngine(spark, str(tmp_path / f"wh_{mode}"), pages, cfg)
+        eng.init(seeds)
+        metrics = eng.run(max_waves=3)
+        res = {
+            (r["url"],): (r["status"], r["wave"])
+            for r in eng.all_results().collect()
+        }
+        seen = {r["url"] for r in eng.read_seen().collect()}
+        runs[mode] = (res, seen, [vars(m) for m in metrics])
+        eng.close()
+    assert runs["broadcast"] == runs["cogroup"]
