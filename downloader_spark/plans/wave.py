@@ -507,15 +507,29 @@ class CrawlEngine:
             F.sum((F.col("status") == "failed").cast("int")).alias("n_failed"),
             F.sum((F.col("status") == "too_large").cast("int")).alias("n_too_large"),
         )
-        wh.commit(results, "results", wave=wave)
-        sc = obs_status.get
-        status_counts = {
-            "ok": int(sc["n_ok"] or 0),
-            "robots_denied": int(sc["n_denied"] or 0),
-            "missing_retry": int(sc["n_retry"] or 0),
-            "failed": int(sc["n_failed"] or 0),
-            "too_large": int(sc["n_too_large"] or 0),
-        }
+        # results commit OVERLAPS the seen→bloom→frontier chain below:
+        # the two job trees are independent (both read only the
+        # materialized pol/extracted/selected caches and write different
+        # tables), so submitting them from separate threads lets the
+        # scheduler interleave their stages — measured ~1 s/wave of pure
+        # fixed cost back. The metrics commit (the wave's COMMIT MARKER)
+        # joins the thread first and stays strictly last; a failure on
+        # either side aborts the wave before the marker, so recovery
+        # semantics are unchanged regardless of which commits landed.
+        import threading
+
+        results_err: list[BaseException] = []
+
+        def _commit_results() -> None:
+            try:
+                wh.commit(results, "results", wave=wave)
+            except BaseException as e:  # re-raised on the main thread
+                results_err.append(e)
+
+        results_thread = threading.Thread(
+            target=_commit_results, name=f"results-commit-{wave}", daemon=True
+        )
+        results_thread.start()
 
         # 5. discover links → canonical, valid, depth-bounded; dedupe
         #    within the wave by url (min depth → max score, same rule as
@@ -593,6 +607,19 @@ class CrawlEngine:
         wh.commit(frontier_out, "frontier", wave=wave)
         n_discovered = int(obs_disc.get["n"])
         n_frontier_out = wh.snapshots("frontier")[-1]["n_rows"]
+
+        # rejoin the overlapped results commit BEFORE the marker
+        results_thread.join()
+        if results_err:
+            raise results_err[0]
+        sc = obs_status.get
+        status_counts = {
+            "ok": int(sc["n_ok"] or 0),
+            "robots_denied": int(sc["n_denied"] or 0),
+            "missing_retry": int(sc["n_retry"] or 0),
+            "failed": int(sc["n_failed"] or 0),
+            "too_large": int(sc["n_too_large"] or 0),
+        }
 
         metrics = WaveMetrics(
             wave=wave,
