@@ -344,27 +344,42 @@ def main() -> None:
             "print('RATE=' + json.dumps(n / dt if dt else 0.0)); s.stop()"
         )
         root = os.path.dirname(os.path.abspath(__file__))
-        for cores in (lo_cores, hi_cores):
-            # best-of-N to shed scheduler/neighbor-VM noise (this host
-            # is a shared microVM; capacity swings ±20% between runs,
-            # and the 16-core level is hurt most by stolen cores)
-            attempts = 3 if cores == hi_cores else 2
-            best = 0.0
-            for _ in range(attempts):
-                proc = subprocess.run(
-                    [sys.executable, "-c",
-                     snippet.format(root=root, cores=cores, sf=SF_DIR)],
-                    capture_output=True, text=True, timeout=900,
-                )
-                for line in proc.stdout.splitlines():
-                    if line.startswith("RATE="):
-                        best = max(best, float(line[5:]))
-            rates[cores] = best
-        eff = (rates[hi_cores] / rates[lo_cores]) / (hi_cores / lo_cores)
+
+        def measure(cores):
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 snippet.format(root=root, cores=cores, sf=SF_DIR)],
+                capture_output=True, text=True, timeout=900,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("RATE="):
+                    return float(line[5:])
+            return 0.0
+
+        # ADJACENT lo/hi pairs: neighbor-VM contention on this shared
+        # microVM is a slow-varying multiplicative slowdown, so pairing
+        # the two levels in time makes it cancel in the ratio (a lucky
+        # lo window paired against an unlucky hi phase once measured a
+        # bogus 0.59; a stolen lo window measures a bogus 1.45).
+        # efficiency = MEDIAN paired ratio — robust to one bad pair in
+        # either direction; rates = best observed per level
+        import statistics
+
+        pairs = []
+        rates = {lo_cores: 0.0, hi_cores: 0.0}
+        for _ in range(3):
+            lo = measure(lo_cores)
+            hi = measure(hi_cores)
+            rates[lo_cores] = max(rates[lo_cores], lo)
+            rates[hi_cores] = max(rates[hi_cores], hi)
+            if lo > 0:
+                pairs.append((hi / lo) / (hi_cores / lo_cores))
+        eff = statistics.median(pairs) if pairs else 0.0
         result["scaling"] = {
             f"local[{lo_cores}]_pages_per_sec": round(rates[lo_cores], 2),
             f"local[{hi_cores}]_pages_per_sec": round(rates[hi_cores], 2),
             "efficiency": round(eff, 4),
+            "paired_ratios": [round(p, 4) for p in pairs],
         }
 
     print(json.dumps(result))
