@@ -42,6 +42,8 @@ HEADLINE = [
     "multi_accept",
     "embedding_knn",
     "embedding_knn_ivf",
+    "embedding_knn_lsh",
+    "media_features",
     "multi_format_fanout",
     "fingerprint_groups",
     "extract_lang_profile",
@@ -144,6 +146,100 @@ def _crawl_throughput(spark, n_hosts=300, pages_per_host=60):
                 best = cur
     pages.unpersist()
     return best
+
+
+def _ivf_bench(spark, sf_dir, n_centroids=64, nprobe=8):
+    """IVF as a real index (VERDICT r2 #1): time the ONE-OFF index build
+    (sampled k-means fit + full assignment pass) separately from the
+    per-query-batch probe — the number that matters for repeated ANN
+    queries is probe-only latency over the prebuilt index."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from downloader_spark.operators.similarity import build_ivf_index, ivf_probe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    n_cand = emb.count()
+    qry = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).cache()
+    n_q = qry.count()
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.monotonic()
+        index = build_ivf_index(
+            emb, n_centroids=n_centroids, iters=2, sample_frac=0.5,
+            path=f"{d}/ivf",
+        )
+        build_sec = round(time.monotonic() - t0, 4)
+        # warm probe (python workers already warm from the build pass)
+        ivf_probe(index, qry, k=5, nprobe=nprobe).count()
+        t0 = time.monotonic()
+        got = ivf_probe(index, qry, k=5, nprobe=nprobe).count()
+        probe_sec = round(time.monotonic() - t0, 4)
+    emb.unpersist(), qry.unpersist()
+    return {
+        "n_candidates": n_cand,
+        "n_queries": n_q,
+        "n_centroids": n_centroids,
+        "nprobe": nprobe,
+        "build_sec": build_sec,
+        "probe_sec": probe_sec,
+        "result_rows": got,
+    }
+
+
+def _wave_scale_curve(
+    spark, n_hosts=2000, pages_per_host=60, seeds_per_host=4, waves=5
+):
+    """Per-wave cost on a 10×-bigger corpus than _crawl_throughput
+    (120k pages / 2k hosts at the defaults): the scale claim is that
+    wave wall-clock tracks WAVE OUTPUT (selected+discovered), not total
+    corpus or accumulated seen-set size — the O(wave-output) design.
+    Runs the default config (bloom_probe='auto')."""
+    import tempfile
+
+    from downloader_spark.plans.crawlconfig import CrawlConfig
+    from downloader_spark.plans.wave import CrawlEngine
+    from downloader_spark.sources.pagegen import generate_web_graph
+
+    from pyspark import StorageLevel
+
+    pages = generate_web_graph(
+        spark, n_hosts=n_hosts, pages_per_host=pages_per_host
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_pages = pages.count()
+    cfg = CrawlConfig(
+        wave_seconds=60, max_per_host_per_wave=50, max_depth=3,
+        bloom_min_seen=10_000,
+    )
+    seeds = [
+        f"http://site{h:04d}.example/p/{p}"
+        for h in range(n_hosts)
+        for p in range(seeds_per_host)
+    ]
+    curve = []
+    with tempfile.TemporaryDirectory() as wh:
+        eng = CrawlEngine(spark, wh, pages, cfg)
+        eng.init(seeds)
+        for w in range(1, waves + 1):
+            t0 = time.monotonic()
+            m = eng.run_wave(w)
+            dt = time.monotonic() - t0
+            curve.append({
+                "wave": w,
+                "n_frontier_in": m.n_frontier_in,
+                "n_ok": m.n_ok,
+                "n_discovered": m.n_discovered,
+                "n_seen_out": m.n_seen_out,
+                "wall_sec": round(dt, 2),
+                "frontier_urls_per_sec": round(m.n_frontier_in / dt, 2),
+            })
+            if m.n_frontier_out == 0:
+                break
+        eng.close()
+    pages.unpersist()
+    return {"n_pages": n_pages, "n_hosts": n_hosts, "per_wave": curve}
 
 
 def _frontier_plan_throughput(spark, n_frontier=2_000_000, n_seen=1_000_000, n_hosts=50_000):
@@ -295,6 +391,7 @@ def main() -> None:
     # one JVM across sessions, so ordering is the isolation lever.
     spark = _session(CPUS)
     crawl = _crawl_throughput(spark)
+    wave_curve = _wave_scale_curve(spark)
     frontier_plan = _frontier_plan_throughput(spark)
     bloom_probe = _bloom_probe_throughput(spark)
     spark.stop()
@@ -305,6 +402,7 @@ def main() -> None:
     total = round(time.monotonic() - t_all0, 4)
     n_pages, ex_dt, _chars = _extract_throughput(spark, SF_DIR, repeat=4)
     pages_per_sec = round(n_pages / ex_dt, 2) if ex_dt else 0.0
+    ivf = _ivf_bench(spark, SF_DIR)
 
     result = {
         "metric": "headline query wall-clock + crawl throughput",
@@ -316,8 +414,10 @@ def main() -> None:
         "pages_converted_per_sec": pages_per_sec,
         "n_pages": n_pages,
         "crawl": crawl,
+        "wave_scale_curve": wave_curve,
         "frontier_plan": frontier_plan,
         "bloom_probe": bloom_probe,
+        "ivf_index": ivf,
     }
 
     spark.stop()
@@ -365,9 +465,12 @@ def main() -> None:
         # either direction; rates = best observed per level
         import statistics
 
+        # 5 pairs: the median of 3 is decided by ONE middle sample, and
+        # a single stolen window was measured to swing it 0.73-0.80;
+        # with 5 the median needs 3 bad windows to move
         pairs = []
         rates = {lo_cores: 0.0, hi_cores: 0.0}
-        for _ in range(3):
+        for _ in range(5):
             lo = measure(lo_cores)
             hi = measure(hi_cores)
             rates[lo_cores] = max(rates[lo_cores], lo)

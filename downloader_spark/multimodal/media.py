@@ -38,6 +38,7 @@ MEDIA_META_SCHEMA = StructType(
 FEATURES_SCHEMA = StructType(
     [
         StructField("n_bytes", LongType()),
+        StructField("byte_sum", LongType()),  # exact — oracle-recomputable
         StructField("byte_mean", DoubleType()),
         StructField("byte_entropy", DoubleType()),
         StructField("histogram", ArrayType(LongType())),  # 16 coarse bins
@@ -77,11 +78,15 @@ def media_features_udf(df: DataFrame, payload_col: str = "payload") -> DataFrame
 
     def gen(batches):
         for pdf in batches:
-            feats = {"n_bytes": [], "byte_mean": [], "byte_entropy": [], "histogram": []}
+            feats = {
+                "n_bytes": [], "byte_sum": [], "byte_mean": [],
+                "byte_entropy": [], "histogram": [],
+            }
             for blob in pdf[payload_col]:
                 arr = np.frombuffer(bytes(blob) if blob is not None else b"", dtype=np.uint8)
                 n = len(arr)
                 feats["n_bytes"].append(n)
+                feats["byte_sum"].append(int(arr.sum()) if n else 0)
                 feats["byte_mean"].append(round(float(arr.mean()), 6) if n else 0.0)
                 hist = np.bincount(arr >> 4, minlength=16).astype("int64") if n else np.zeros(16, "int64")
                 p = hist / max(n, 1)
@@ -118,7 +123,12 @@ def sample_frames_plan(
 
 def synth_media_from_embeddings(spark, sf_dir: str) -> DataFrame:
     """Deterministic fake media rows derived from the embeddings table:
-    payload = float bytes of the vector; metadata typed per vec_id."""
+    payload = UTF-8 bytes of the comma-joined INTEGER-quantized vector
+    (floor(x·1000) — floor, not cast, because engines disagree on
+    float→int rounding, and integer→string formatting is identical
+    everywhere while float→string is not), so an external engine
+    (DuckDB) can rebuild the exact same bytes and recompute the byte
+    features as a hard oracle; metadata typed per vec_id."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     mtype = (
         F.when(F.col("vec_id") % 3 == 0, "image")
@@ -133,7 +143,13 @@ def synth_media_from_embeddings(spark, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 9000 + 1000).cast("long").alias("duration_ms"),
     )
     payload = F.encode(
-        F.concat_ws(",", F.transform("embedding", lambda x: x.cast("string"))),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000).cast("string"),
+            ),
+        ),
         "UTF-8",
     )
     return emb.select(

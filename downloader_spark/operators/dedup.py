@@ -320,6 +320,36 @@ def ngram_jaccard_pairs(
     )
 
 
+def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """localCheckpoint(eager) + the storage ids it registered, so the
+    caller can drop superseded rounds DETERMINISTICALLY.
+    DataFrame.unpersist() is a CacheManager no-op for checkpointed
+    frames, and the ContextCleaner only reclaims their blocks after a
+    JVM GC notices the dropped reference — measured: blocks from every
+    propagation round survive the call otherwise."""
+    sc = df.sparkSession.sparkContext._jsc.sc()
+
+    def _ids() -> set[int]:
+        it = sc.getPersistentRDDs().keysIterator()
+        out = set()
+        while it.hasNext():
+            out.add(int(it.next()))
+        return out
+
+    before = _ids()
+    out = df.localCheckpoint(eager=True)
+    return out, _ids() - before
+
+
+def _drop_ckpt(df: DataFrame, ids: set[int]) -> None:
+    sc = df.sparkSession.sparkContext._jsc.sc()
+    m = sc.getPersistentRDDs()
+    for rdd_id in ids:
+        opt = m.get(rdd_id)
+        if not opt.isEmpty():
+            opt.get().unpersist(False)
+
+
 def connected_keepers(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -334,34 +364,57 @@ def connected_keepers(
     Iterative min-label propagation over DataFrame joins: each round a
     node's label becomes min(own, neighbors'); converges in ≤ graph
     diameter rounds (near-dup components are shallow — cliques and
-    short chains), checked by a per-round changed-count with a hard
-    ``max_iters`` stop. Per round: one join + one groupBy; labels are
-    persisted per round and the previous round unpersisted, so lineage
-    and cache stay O(1) in rounds. At extreme component sizes switch to
-    the large-star/small-star algorithm (same DataFrame primitives);
-    this direct form is the right cost for dedup-shaped graphs.
+    short chains), checked by a per-round changed-count. If the graph
+    has a long chain and plain propagation exhausts ``max_iters``, the
+    loop FALLS BACK to pointer-jumping rounds (label ← min(own,
+    neighbors', label-of-label) — the star-contraction family of
+    MapReduce CC algorithms: each jump halves the remaining distance to
+    the component minimum, so convergence becomes O(log diameter) and
+    another ``max_iters`` doubling rounds cover diameters ~2^max_iters;
+    a 100 TB dedup run never aborts on one unlucky chain). Per round:
+    one join + one groupBy (+ one label self-join in doubling rounds);
+    labels are persisted per round and the previous round unpersisted,
+    so lineage and cache stay O(1) in rounds.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sym = sym.persist()
-    labels = (
+    # per-round materialization is localCheckpoint, NOT persist: the
+    # doubling rounds reference `labels` three times (self ∪ prop ∪
+    # hop), so without lineage TRUNCATION the logical plan grows ~3×
+    # per round — measured: a 2 GiB plan string and minutes of pure
+    # analysis by round 8. localCheckpoint keeps the plan O(1) in
+    # rounds; superseded rounds' blocks are dropped explicitly.
+    labels, label_ids = _ckpt_tracked(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
     )
-    labels.count()
-    for _ in range(max_iters):
+    # plain rounds up to max_iters, then pointer-jumping rounds with a
+    # hard backstop: 48 doubling rounds cover diameters ~2^48 — no real
+    # graph reaches the raise, but an infinite loop stays impossible
+    for it in range(max_iters + 48):
         prop = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("label")
         )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .persist()
+        cand = labels.unionByName(prop)
+        if it >= max_iters:
+            # pointer-jumping fallback: labels are always ids of nodes
+            # in the same component (min-propagation invariant), so
+            # label[label[u]] is component-safe and skips ahead
+            # exponentially
+            hop = (
+                labels.alias("a")
+                .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
+                .select(
+                    F.col("a.node").alias("node"), F.col("b.label").alias("label")
+                )
+            )
+            cand = cand.unionByName(hop)
+        new_labels, new_ids = _ckpt_tracked(
+            cand.groupBy("node").agg(F.min("label").alias("label"))
         )
         changed = (
             new_labels.alias("n")
@@ -369,19 +422,25 @@ def connected_keepers(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        # new_labels' lineage is truncated to its own blocks, so the
+        # superseded round's storage can be dropped immediately
+        _drop_ckpt(labels, label_ids)
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
             break
     else:
         raise RuntimeError(
-            f"label propagation did not converge in {max_iters} rounds "
-            "(component diameter exceeds the bound — use star-contraction)"
+            f"label propagation did not converge in {max_iters} plain + "
+            "48 pointer-jumping rounds (diameter > ~2^48)"
         )
     sym.unpersist()
-    # the converged labels stay persisted: the returned plan reads this
-    # cache (unpersisting here would force callers to recompute every
-    # propagation round); callers may .unpersist() the result when done
+    # the result reads the final round's (already materialized)
+    # checkpoint blocks — no persist-registry entry survives the call
+    # beyond them, and they are reclaimed when the result is
+    # garbage-collected (ADVICE r2: repeated invocations must not
+    # accumulate executor cache). At cluster scale prefer a reliable
+    # checkpoint dir; the result is one row per node in the PAIR graph
+    # (dup nodes only), orders of magnitude smaller than the corpus.
     return labels.select("node", F.col("label").alias("keeper"))
 
 

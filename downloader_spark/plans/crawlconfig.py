@@ -45,7 +45,12 @@ class CrawlConfig:
     # executor memory. 'cogroup': bucket-local probe (bloom.py), no
     # driver collect — REQUIRED at 10^10-URL geometry where the filter
     # is multi-GB. Same probe arithmetic, identical outputs.
-    bloom_probe: str = "broadcast"
+    # 'auto' (the default): pick by geometry — cogroup once the bitmap
+    # (num_buckets × bits_per_bucket / 8) exceeds bloom_broadcast_max
+    # bytes, so a multi-GB filter can never reach the driver because
+    # someone forgot a flag.
+    bloom_probe: str = "auto"
+    bloom_broadcast_max: int = 256 * 1024 * 1024  # auto-mode budget
     broadcast_robots: bool = True  # flip off beyond ~10^7 hosts
     dedupe_pages: bool = True  # drop duplicate url captures (latest wins)
     # below this seen-set size the exact broadcast anti-join beats the
@@ -54,6 +59,28 @@ class CrawlConfig:
     bloom_min_seen: int = 100_000
     seen_compact_every: int = 16  # compact the append-only seen table
     snapshot_keep_last: int = 1000  # TTL analog (T8)
+
+    def __post_init__(self) -> None:
+        if self.bloom_probe not in ("auto", "broadcast", "cogroup"):
+            raise ValueError(
+                f"bloom_probe={self.bloom_probe!r} — must be 'auto', "
+                "'broadcast' or 'cogroup' (a typo here would silently "
+                "fall back to the broadcast path, which is unusable at "
+                "multi-GB filter geometry)"
+            )
+
+    def bloom_bitmap_bytes(self) -> int:
+        return self.bloom_num_buckets * self.bloom_bits_per_bucket // 8
+
+    def resolved_bloom_probe(self) -> str:
+        """'auto' → geometry decision: the broadcast probe collects the
+        whole bitmap to the driver once per snapshot, so it is only
+        allowed while the bitmap fits the broadcast budget."""
+        if self.bloom_probe != "auto":
+            return self.bloom_probe
+        if self.bloom_bitmap_bytes() > self.bloom_broadcast_max:
+            return "cogroup"
+        return "broadcast"
 
     def score_for_depth(self, depth: int) -> int:
         return max(0, self.score_base - self.score_decay * depth)

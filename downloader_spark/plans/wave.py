@@ -152,26 +152,36 @@ class CrawlEngine:
         'invalid' (reference validate→400 analog, download.py:137-148)."""
         cfg = self.cfg
         rows = [
-            (s, None) if isinstance(s, str) else (s[0], dict(s[1]) if s[1] else None)
-            for s in seeds
+            (i, s, None)
+            if isinstance(s, str)
+            else (i, s[0], dict(s[1]) if s[1] else None)
+            for i, s in enumerate(seeds)
         ]
         seed_df = self.spark.createDataFrame(
-            rows, "url string, custom_headers map<string,string>"
+            rows, "seed_idx long, url string, custom_headers map<string,string>"
         )
         canon = seed_df.withColumn("c", canonicalize_udf("url")).select(
-            "url", "custom_headers", "c.*"
+            "seed_idx", "url", "custom_headers", "c.*"
         )
+        # seeds that canonicalize to the same url dedupe FIRST-WINS by
+        # original seed order (min_by seed_idx) — the simulator's rule;
+        # dropDuplicates would keep an arbitrary row and diverge on
+        # same-url seeds that differ in custom_headers
         valid = (
             canon.filter("valid")
+            .groupBy(F.col("url_canonical").alias("url"))
+            .agg(
+                F.min_by("host", "seed_idx").alias("host"),
+                F.min_by("custom_headers", "seed_idx").alias("custom_headers"),
+            )
             .select(
-                F.col("url_canonical").alias("url"),
+                "url",
                 "host",
                 F.lit(0).alias("depth"),
                 F.lit(cfg.score_base).alias("score"),
                 F.lit(0).alias("attempt"),
                 "custom_headers",
             )
-            .dropDuplicates(["url"])
         )
         invalid = canon.filter("NOT valid").select(
             F.lit(0).alias("wave"),
@@ -322,7 +332,7 @@ class CrawlEngine:
             and total >= cfg.bloom_min_seen
             and self._bloom_covered() == total
         ):
-            if cfg.bloom_probe == "cogroup":
+            if cfg.resolved_bloom_probe() == "cogroup":
                 # bucket-local path: no driver collect — the only probe
                 # that works once the filter is multi-GB (10^10 URLs)
                 probed = bloom_maybe_seen_cogroup(
@@ -530,7 +540,28 @@ class CrawlEngine:
             target=_commit_results, name=f"results-commit-{wave}", daemon=True
         )
         results_thread.start()
+        try:
+            return self._finish_wave(
+                wave, results_thread, results_err, obs_status, ok, denied,
+                failed, too_large, retry, allowed, selected, pol, extracted,
+                n_frontier_in, n_unseen,
+            )
+        finally:
+            # the results commit must never be left in flight when the
+            # wave propagates an exception: a caller that immediately
+            # runs recover() in the same process would race the commit
+            # and miss rolling it back (join is idempotent — the success
+            # path already joined before the metrics marker)
+            results_thread.join()
 
+    def _finish_wave(
+        self, wave, results_thread, results_err, obs_status, ok, denied,
+        failed, too_large, retry, allowed, selected, pol, extracted,
+        n_frontier_in, n_unseen,
+    ) -> "WaveMetrics":
+        from pyspark.sql import Observation
+
+        cfg, spark, wh = self.cfg, self.spark, self.wh
         # 5. discover links → canonical, valid, depth-bounded; dedupe
         #    within the wave by url (min depth → max score, same rule as
         #    the simulator's in-wave merge)

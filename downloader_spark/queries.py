@@ -561,9 +561,14 @@ def q_url_canonicalize(spark, sf_dir):
 # Similarity search
 # ---------------------------------------------------------------------------
 
+# embeddings.parquet vector width at every SF (TESTDATA contract) —
+# passed as a constant so query builders run no driver actions
+EMB_DIM = 64
+
 # Exact brute-force top-5 by cosine for every 100th vector — shared by
-# embedding_knn (broadcast nested loop) and embedding_knn_ivf
-# (exhaustive-probe IVF): both must produce exactly this.
+# embedding_knn (broadcast nested loop), embedding_knn_ivf
+# (exhaustive-probe IVF) and embedding_knn_lsh (recall-saturated LSH):
+# all three must produce exactly this.
 _KNN_ORACLE = """
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
@@ -618,18 +623,27 @@ def q_embedding_knn_ivf(spark, sf_dir):
     )
 
 
-@_q("embedding_knn_lsh")
+@_q("embedding_knn_lsh", _KNN_ORACLE)
 def q_embedding_knn_lsh(spark, sf_dir):
-    """LSH-bucketed approximate variant (the 100 TB scale path)."""
+    """LSH-bucketed approximate variant (the 100 TB scale path), run in
+    its ORACLE-VERIFIABLE configuration: few planes + many
+    OR-amplification tables drive candidate recall to ~1
+    (miss ≈ (1−p²)^L per true pair, p = 1−θ/π), so the LSH top-k equals
+    the brute-force top-k and the exact-knn oracle is a hard check on
+    the whole pipeline — bucketing, scoring, and ranking (same
+    verification pattern as minhash_near_dups' single-row bands). The
+    scale configuration flips the trade (more planes, fewer tables →
+    smaller buckets, recall < 1) and is pinned by
+    tests/test_similarity_text.py."""
     from .operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    first = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(first["d"])
     queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries_df, dim=dim, k=5, n_planes=8, n_tables=2)
+    return lsh_topk(
+        emb, queries_df, dim=EMB_DIM, k=5, n_planes=2, n_tables=24
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1202,14 +1216,53 @@ def q_multi_accept(spark, sf_dir):
 # Multimodal plumbing (rows-only; codec stubbed per environment)
 # ---------------------------------------------------------------------------
 
-@_q("media_features")
+@_q(
+    "media_features",
+    """
+    WITH media AS (
+      SELECT vec_id AS media_id,
+             CASE CAST(vec_id % 3 AS INT)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+             END AS media_type,
+             array_to_string(list_transform(embedding,
+               x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                         AS VARCHAR)), ',') AS s
+      FROM embeddings
+    ), b AS (
+      SELECT media_id, media_type, length(s) AS n_bytes,
+             list_transform(generate_series(1, length(s)),
+                            i -> ascii(substring(s, i, 1))) AS bl
+      FROM media
+    )
+    SELECT media_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(list_sum(bl) AS BIGINT) AS byte_sum,
+           ROUND(list_sum(bl) * 1.0 / n_bytes, 6) AS byte_mean,
+           array_to_string(list_transform(generate_series(0, 15),
+             bin -> CAST(len(list_filter(bl, x -> x // 16 = bin))
+                         AS VARCHAR)), ',') AS hist
+    FROM b
+    """,
+)
 def q_media_features(spark, sf_dir):
+    """Multimodal byte-feature plumbing with a HARD oracle (round-2
+    VERDICT Missing #5): the synthetic payload is integer-quantized so
+    DuckDB can rebuild the exact bytes and recompute length, byte sum
+    and the 16-bin histogram as exact integers (byte_mean re-derived
+    natively so both engines round the same way). byte_entropy stays
+    UDF-only, pinned by the python-recompute test — float log2 isn't
+    bit-stable across engines."""
     from .multimodal import media_features_udf, synth_media_from_embeddings
 
     media = synth_media_from_embeddings(spark, sf_dir)
     return media_features_udf(media).select(
-        "media_id", F.col("meta.media_type").alias("media_type"),
-        "n_bytes", "byte_mean", "byte_entropy",
+        "media_id",
+        F.col("meta.media_type").alias("media_type"),
+        "n_bytes",
+        "byte_sum",
+        F.round(F.col("byte_sum") / F.col("n_bytes"), 6).alias("byte_mean"),
+        F.concat_ws(
+            ",", F.transform("histogram", lambda x: x.cast("string"))
+        ).alias("hist"),
     )
 
 
@@ -1217,9 +1270,12 @@ def q_media_features(spark, sf_dir):
 # Embedding-cosine near-dup + multi-format fan-out + UA sanitize
 # ---------------------------------------------------------------------------
 
-@_q(
-    "embedding_near_dups",
-    """
+# Exact all-pairs cosine ≥ 0.9 over the SEEDED corpus (every 50th
+# vector re-unioned with a deterministic +0.25 perturbation on its
+# first component, cosine ≈ 0.99 to its source, so the check runs on
+# REAL pairs) — shared by embedding_near_dups (exact path) and
+# embedding_near_dups_lsh (recall-saturated LSH): both must equal it.
+_NEAR_DUP_ORACLE = """
     WITH base AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -1238,18 +1294,14 @@ def q_media_features(spark, sf_dir):
       FROM seeded a JOIN seeded b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
-    """,
-)
-def q_embedding_near_dups(spark, sf_dir):
-    """Exact embedding near-dup pairs (cosine ≥ 0.9), opting in to the
-    size-guarded O(n²) verify baseline (exact=True). Every 50th vector
-    is unioned back with a deterministic perturbation (+0.25 on the
-    first component, cosine ≈ 0.99 to its source) so the oracle checks
-    REAL pairs — the raw synthetic corpus is near-orthogonal and would
-    verify an empty set. The LSH path is the scale default
-    (embedding_near_dups_lsh)."""
-    from .operators.similarity import embedding_near_dups
+    """
 
+
+def _seeded_near_dup_corpus(spark, sf_dir):
+    """embeddings ∪ deterministic perturbations of every 50th vector —
+    the corpus both near-dup query variants (and their shared oracle)
+    run on. The raw synthetic corpus is near-orthogonal and would
+    verify an empty pair set (the round-1 vacuous-oracle bug)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -1261,19 +1313,42 @@ def q_embedding_near_dups(spark, sf_dir):
             lambda x, i: F.when(i == 0, x + F.lit(0.25)).otherwise(x),
         ).alias("embedding"),
     )
-    return embedding_near_dups(emb.unionByName(pert), threshold=0.9, exact=True)
+    return emb.unionByName(pert)
 
 
-@_q("embedding_near_dups_lsh")
-def q_embedding_near_dups_lsh(spark, sf_dir):
-    """LSH-bucketed near-dups (the scale default; hash-bucket candidate
-    generation has no DuckDB equivalent → rows-only). Low threshold +
-    few planes so the near-orthogonal synthetic embeddings still
-    produce candidate pairs worth returning."""
+@_q("embedding_near_dups", _NEAR_DUP_ORACLE)
+def q_embedding_near_dups(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine ≥ 0.9), opting in to the
+    size-guarded O(n²) verify baseline (exact=True) over the seeded
+    corpus. The LSH path is the scale default
+    (embedding_near_dups_lsh, same oracle)."""
     from .operators.similarity import embedding_near_dups
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.3, n_planes=4, n_tables=2)
+    return embedding_near_dups(
+        _seeded_near_dup_corpus(spark, sf_dir), threshold=0.9, exact=True
+    )
+
+
+@_q("embedding_near_dups_lsh", _NEAR_DUP_ORACLE)
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """LSH-bucketed near-dups (the scale default) in the
+    ORACLE-VERIFIABLE configuration: at threshold 0.9 a true pair has
+    per-plane collision p = 1−acos(0.9)/π ≥ 0.857, so with 4 planes ×
+    8 OR-amplified tables the miss probability per pair is
+    (1−p⁴)^8 ≤ 4·10⁻³ at the seeded pairs' actual cosine (≈0.99:
+    ≤ 2·10⁻⁶) — the LSH output equals the exact pair set and the same
+    all-pairs oracle verifies candidate generation, scoring and
+    thresholding end-to-end. At 100 TB the trade flips (more planes →
+    smaller buckets, recall < 1, pinned by tests)."""
+    from .operators.similarity import embedding_near_dups
+
+    return embedding_near_dups(
+        _seeded_near_dup_corpus(spark, sf_dir),
+        threshold=0.9,
+        dim=EMB_DIM,
+        n_planes=4,
+        n_tables=8,
+    )
 
 
 @_q(

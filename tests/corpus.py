@@ -154,6 +154,57 @@ CORPUS: dict[str, tuple[bytes, str]] = {
         "text/html",
     ),
     "only_doctype": (b"<!DOCTYPE html>", "text/html"),
+    # --- reference fixture families not yet mirrored (r2 VERDICT #8:
+    # html_fixtures.py:68-283 — angular shell, SSR loading shell,
+    # rendered newsletter page, medium-like loading root, >50KB page
+    # with complete metadata); shapes mirrored, text original ---
+    "angular_shell": (
+        b'<!DOCTYPE html>\n<html>\n<head>\n    <meta charset="utf-8">\n'
+        b"    <title>Angular App</title>\n</head>\n"
+        b'<body ng-app="crawlApp">\n    <div ng-view></div>\n'
+        b'    <script src="/angular.js"></script>\n</body>\n</html>',
+        "text/html",
+    ),
+    "ssr_loading_shell": (
+        b'<!DOCTYPE html>\n<html>\n<head>\n    <meta charset="utf-8">\n'
+        b'    <title></title>\n    <link rel="stylesheet" href="/styles.css">\n'
+        b'    <script src="/bundle.js"></script>\n</head>\n<body>\n'
+        b'    <div id="root"></div>\n    <p>Loading...</p>\n</body>\n</html>',
+        "text/html",
+    ),
+    "newsletter_rendered": (
+        b'<!DOCTYPE html>\n<html>\n<head>\n    <meta charset="utf-8">\n'
+        b'    <title data-rh="true">Wave Scheduling Deep Dive - by A. Writer</title>\n'
+        b'    <meta property="og:title" content="Wave Scheduling Deep Dive">\n'
+        b'    <meta property="og:description" content="How crawl waves amortize">\n'
+        b'    <meta property="og:image" content="https://cdn.example/img/wave.jpeg">\n'
+        b'    <meta name="twitter:title" content="Wave Scheduling Deep Dive">\n'
+        b'    <meta name="twitter:description" content="How crawl waves amortize">\n'
+        b'</head>\n<body>\n    <div id="root">\n        <article>\n'
+        b"            <h1>Wave Scheduling Deep Dive</h1>\n"
+        b"            <p>A long discussion of frontier budgeting and politeness.</p>\n"
+        b"            <p>Second paragraph covering snapshot lineage in depth.</p>\n"
+        b"            <p>Third paragraph on per-host ranking and skew salts.</p>\n"
+        b"        </article>\n    </div>\n</body>\n</html>",
+        "text/html",
+    ),
+    "loading_root_shell": (
+        b'<!DOCTYPE html>\n<html>\n<head>\n    <meta charset="utf-8">\n'
+        b'    <title></title>\n</head>\n<body>\n    <div id="root">\n'
+        b"        <p>Loading article body...</p>\n    </div>\n</body>\n</html>",
+        "text/html",
+    ),
+    "large_article_50kb": (
+        b'<!DOCTYPE html>\n<html>\n<head>\n    <meta charset="utf-8">\n'
+        b"    <title>Large Article</title>\n"
+        b'    <meta property="og:title" content="Large Article">\n'
+        b'    <meta property="og:description" content="A very large page">\n'
+        b'    <meta property="og:image" content="https://cdn.example/big.jpg">\n'
+        b"</head>\n<body>\n    <article>\n        <h1>Large Article</h1>\n"
+        + b"<p>Repeated filler sentence with enough words to build size fast. </p>\n" * 800
+        + b"    </article>\n</body>\n</html>",
+        "text/html",
+    ),
     "xhtml_self_closing": (
         b'<html><body><p>Line one<br/>line two</p><img src="/x.png" alt="pic"/>'
         b"</body></html>",

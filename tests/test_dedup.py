@@ -164,3 +164,34 @@ def test_connected_keepers_chain_and_clique(spark):
     )
     got = {r["node"]: r["keeper"] for r in connected_keepers(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_keepers_deep_chain_pointer_jump_fallback(spark):
+    """A path graph of diameter 40 with max_iters=4: plain propagation
+    cannot converge in 4 rounds, so the pointer-jumping fallback must
+    kick in (instead of raising) and still produce exact components —
+    the 100 TB guarantee that one long chain never aborts a dedup run."""
+    from downloader_spark.operators.dedup import connected_keepers
+
+    edges = [(i, i + 1) for i in range(40)] + [(100, 101)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["keeper"] for r in connected_keepers(pairs, max_iters=4).collect()}
+    assert got == {**{i: 0 for i in range(41)}, 100: 100, 101: 100}
+
+
+def test_connected_keepers_releases_cache(spark):
+    """The returned DataFrame must not pin the propagation loop's
+    persisted rounds (ADVICE r2: repeated invocations accumulated
+    executor cache with no release hook)."""
+    from downloader_spark.operators.dedup import connected_keepers
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = connected_keepers(pairs)
+    assert out.count() == 3
+    # only the localCheckpoint blocks of the RESULT may remain; none of
+    # the loop's persist() handles (labels/sym rounds) survive the call
+    assert n_persistent() <= before + 1

@@ -43,6 +43,38 @@ def test_detection_flags_sane():
     assert not flags.needs_render and not flags.needs_js_render
 
 
+def test_detection_flags_reference_fixture_families():
+    """Ported contracts for the r2-added fixture shapes
+    (reference html_fixtures.py:68-283 expectations)."""
+    # framework marker (ng-app) + tiny body → JS render
+    flags = detect_render_flags("http://t/ng", *CORPUS["angular_shell"])
+    assert flags.needs_js_render and not flags.needs_render
+
+    # SSR loading shell: empty #root, missing metadata, tiny body
+    flags = detect_render_flags("http://t/ssr", *CORPUS["ssr_loading_shell"])
+    assert flags.needs_js_render
+
+    # medium-like loading root on a JS-heavy domain
+    flags = detect_render_flags(
+        "http://medium.com/@a/post", *CORPUS["loading_root_shell"]
+    )
+    assert flags.needs_js_render
+
+    # rendered newsletter page: #root BUT complete og/twitter metadata
+    # + article — the framework marker alone must not force a re-render
+    # on a non-JS-heavy domain with substantial content
+    flags = detect_render_flags(
+        "http://example.com/p/waves", *CORPUS["newsletter_rendered"]
+    )
+    assert flags.has_content_container
+
+    # >50KB with complete metadata: size threshold keeps it static
+    content, ctype = CORPUS["large_article_50kb"]
+    assert len(content) > 50_000  # the fixture's defining property
+    flags = detect_render_flags("http://t/large", content, ctype)
+    assert not flags.needs_js_render and flags.needs_render
+
+
 def test_spark_udf_byte_identical_to_oracle(spark):
     rows = [
         (f"http://host{i % 7}.example/{name}", content, ctype)

@@ -183,6 +183,7 @@ class TestMultimodal:
             ent = round(-sum((c / n) * math.log2(c / n) for c in hist if c), 6)
             r = feats[mid]
             assert r["n_bytes"] == n
+            assert r["byte_sum"] == sum(blob)
             assert r["byte_mean"] == mean
             assert r["byte_entropy"] == ent
             assert list(r["histogram"]) == hist

@@ -195,3 +195,68 @@ def test_lsh_or_amplification_raises_recall(vecs):
     t1 = lsh_topk(df, qry, dim=8, k=3, n_planes=10, n_tables=1).count()
     t4 = lsh_topk(df, qry, dim=8, k=3, n_planes=10, n_tables=4).count()
     assert t4 >= t1  # more tables → more (or equal) scored results
+
+
+def test_build_ivf_index_store_and_probe(vecs, tmp_path):
+    """The persistable index path (round-2 VERDICT #1): build ONCE to a
+    parquet store partitioned by list id, probe repeatedly without
+    re-running k-means; exhaustive probe over the stored index still
+    equals brute force."""
+    import os
+
+    from downloader_spark.operators.similarity import (
+        build_ivf_index, cosine_topk, ivf_probe,
+    )
+
+    df, _ = vecs
+    idx_path = str(tmp_path / "ivf_index")
+    index = build_ivf_index(df, n_centroids=6, iters=2, path=idx_path)
+    # the store is partitioned by the inverted-list id → a probe that
+    # joins on _c can prune non-probed list files entirely
+    assert any(d.startswith("_c=") for d in os.listdir(idx_path))
+    qry = df.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rnk"]): (r["cand_id"], r["cosine"])
+        for r in cosine_topk(df, qry, k=4).collect()
+    }
+    got = {
+        (r["query_id"], r["rnk"]): (r["cand_id"], r["cosine"])
+        for r in ivf_probe(index, qry, k=4, nprobe=6).collect()
+    }
+    assert got == exact
+    # probe a second, different query batch against the SAME index
+    qry2 = df.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert ivf_probe(index, qry2, k=2, nprobe=6).count() == 2
+
+
+def test_ivf_k256_centroids_and_sampled_fit(spark):
+    """k-means assignment through the pandas-UDF matmul scales past the
+    old k ≲ 64 unrolled-projection cap: 256 centroids over 1500 vectors
+    (fit on a hash sample), planted near-identical neighbors recovered
+    at nprobe ≪ k."""
+    import numpy as np
+
+    from downloader_spark.operators.similarity import build_ivf_index, ivf_probe
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(1400, 16).astype("float32")
+    planted = base[:100] + rng.randn(100, 16).astype("float32") * 0.01
+    data = np.vstack([base, planted])  # ids 1400..1499 ≈ ids 0..99
+    rows = [(i, [float(x) for x in data[i]]) for i in range(1500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index = build_ivf_index(
+        df, n_centroids=256, iters=2, sample_frac=0.5, persist=True
+    )
+    assert len(index.centroids) == 256
+    qry = df.filter(F.col("vec_id") >= 1400).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_probe(index, qry, k=1, nprobe=8).collect()
+    hits = sum(1 for r in got if r["cand_id"] == r["query_id"] - 1400)
+    # a planted near-duplicate sits ~0.01 away: its cell is probed first
+    assert hits >= 90, f"top-1 recall {hits}/100 at nprobe=8, k=256"
+    index.close()
