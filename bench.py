@@ -103,11 +103,18 @@ def _extract_throughput(spark, sf_dir, repeat: int = 1):
     return n_pages, dt, int(out[0]["chars"] or 0)
 
 
-def _crawl_throughput(spark, n_hosts=300, pages_per_host=60):
-    """Frontier URLs processed/sec through one full crawl wave
+def _crawl_throughput(spark, n_hosts=1000, pages_per_host=60):
+    """Frontier URLs processed/sec through full crawl waves
     (BASELINE.json primary metric at sandbox scale): seen-filter +
     politeness + priority rank + fetch-join + extract + discovery +
-    snapshot commits, all included in the timed window."""
+    snapshot commits, all included in the timed window.
+
+    Corpus upscaled in r3 (300→1000 hosts, 8k seeds → ~8k/6k-URL
+    waves): the r2 toy corpus timed waves whose wall-clock was ≥80%
+    FIXED orchestration cost, reporting ~340 urls/s for an engine the
+    10×-evidence run (BASELINE.md) measures at ~2.7k urls/s once waves
+    are big enough to amortize — the headline should track the
+    amortized rate a real frontier sees."""
     import tempfile
 
     from downloader_spark.plans.crawlconfig import CrawlConfig

@@ -359,7 +359,18 @@ def ivf_probe(
         "query_id", F.col(vec_col).alias("qvec")
     ).withColumn("_probe", F.explode(probe(F.col("qvec"))))
     cand = index.assigned
-    paired = cand.join(qry, cand["_c"] == qry["_probe"]).filter(
+    # in-memory index: the join key _c is a UDF expression, and the
+    # plain == key makes Catalyst infer isnotnull(_c) — an inlined
+    # constraint that gets extracted as a SECOND ArrowEvalPython over
+    # the whole candidate table (assignment would run 2×). eqNullSafe
+    # infers no constraint (still a hash-join key; _c is never null).
+    # Stored index: _c is a parquet PARTITION column — plain equality
+    # keeps the probe eligible for dynamic partition pruning.
+    if index.path is not None:
+        cond = cand["_c"] == qry["_probe"]
+    else:
+        cond = cand["_c"].eqNullSafe(qry["_probe"])
+    paired = cand.join(qry, cond).filter(
         F.col("cand_id") != F.col("query_id")
     )
     sim = _dot(F.col("cvec"), F.col("qvec")) / (

@@ -447,8 +447,54 @@ def q_wave_metrics(spark, sf_dir):
 # byte-level correctness is pinned by tests/test_extract_parity.py)
 # ---------------------------------------------------------------------------
 
-@_q("extract_lang_profile")
+@_q(
+    "extract_lang_profile",
+    """
+    WITH chunks AS (
+      SELECT doc_id, lang, coalesce(text, '') AS t,
+             'Document ' || doc_id AS title
+      FROM documents
+    ), cs AS (
+      SELECT doc_id, lang, title,
+             CASE WHEN t = '' THEN ['']
+                  ELSE list_transform(
+                    generate_series(1, CAST(ceil(len(t) / 240.0) AS INT)),
+                    i -> substring(t, (i - 1) * 240 + 1, 240))
+             END AS chunks
+      FROM chunks
+    ), per AS (
+      SELECT lang,
+             trim(regexp_replace(
+               title || ' ' || array_to_string(chunks, ' '),
+               '\\s+', ' ', 'g')) AS etext,
+             18 + len(title)
+                + list_sum(list_transform(chunks, c -> len(trim(c)))) AS body_len
+      FROM cs
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(len(etext)) AS BIGINT) AS total_text_chars,
+           CAST(SUM(CASE WHEN body_len >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_needs_render
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+)
 def q_extract_lang_profile(spark, sf_dir):
+    """Flagship: pages → Arrow extract UDF → per-lang profile.
+
+    ORACLED since r3: pages_from_documents wraps each document's text
+    into <p> blocks of 240-char slices under an 'Document {id}' h1, and
+    the extractor's plaintext rule for that shape is exactly
+    trim(collapse_ws(title ⊕ ' ' ⊕ chunks joined by ' ')) — so DuckDB
+    can rebuild the extracted text per page from documents.parquet
+    alone, and D1 (needs_render) reduces to the body-text-length
+    threshold (container is constant in the template, error class never
+    present): body_len = len('nav bar')+len('footer text')+len(title)
+    + Σ len(trim(chunk)) ≥ 100 (MIN_BODY_TEXT_THRESHOLD,
+    htmlx/convert.py:39). Verified char-exact per page against
+    extract_page on the full sf0.01 corpus before wiring. The oracle is
+    intentionally coupled to the pagegen template — changing the
+    template must update it (CLAUDE.md invariant 7)."""
     from .functions.udfs import extract_udf
     from .sources.pagegen import pages_from_documents
 

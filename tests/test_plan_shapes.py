@@ -112,8 +112,12 @@ def test_ivf_join_is_hash_join_no_python(spark):
     assert "HashJoin" in plan  # BroadcastHashJoin or ShuffledHashJoin
     assert "NestedLoop" not in plan
     assert "BatchEvalPython" not in plan
-    # assignment UDF on the candidate side + probe UDF on the query side
-    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) <= 2
+    # EXACTLY one assignment UDF on the candidate side + one probe UDF
+    # on the query side: a plain == join key makes Catalyst infer an
+    # isnotnull(_c) constraint that extracts a second candidate-side
+    # eval (assignment would run 2× over the corpus) — the probe joins
+    # null-safe to suppress it
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
 
 
 def test_exact_near_dup_guard_means_lsh_default_no_nested_loop(spark):
@@ -167,3 +171,23 @@ def test_bucketed_pages_join_skips_pages_side_shuffle(spark):
         assert joined.count() > 0  # and it actually runs
     finally:
         spark.sql("DROP TABLE IF EXISTS t_pages_bucketed")
+
+
+def test_stored_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """A path-stored IVF index is parquet PARTITIONED BY the inverted
+    list id; probing it must show a dynamic-partition-pruning filter on
+    the candidate scan (only the nprobe probed lists' files are read —
+    at 100 TB this is what makes a probe O(probed lists), not O(index))."""
+    from pyspark.sql import functions as F
+
+    from downloader_spark.operators.similarity import build_ivf_index, ivf_probe
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qry = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = build_ivf_index(
+        emb, n_centroids=16, iters=1, path=str(tmp_path / "ivf_idx")
+    )
+    plan = explain_str(ivf_probe(index, qry, k=3, nprobe=2))
+    assert "dynamicpruning" in plan.lower()
