@@ -82,19 +82,25 @@ def hyperplane_signature(
 ):
     """Sign-of-projection bit signature against deterministic
     pseudo-random hyperplanes. Plane weights come from a hash grid:
-    w[p][i] = (xxhash64(seed:p:i) / 2^63) ∈ [-1, 1) — native, no RNG."""
+    w[p][i] = (xxhash64(seed:p:i) / 2^63) ∈ [-1, 1) — no RNG state.
+
+    The weights are CONSTANTS of (seed, p, i), so they are precomputed
+    driver-side with the parity-identical pure-Python xxhash64
+    (functions/hashing.py == Spark's native, test_hashing) and embedded
+    as array literals: the original per-row form re-hashed
+    rows × planes × dim times per query (measured ~40% of the
+    recall-saturated knn_lsh wall-clock at sf0.1) for values that never
+    change. Signatures are bit-identical to the hashed-in-plan form."""
+    from ..functions.hashing import xxh64_str
+
     bits = []
     for p in range(n_planes):
+        w = [
+            xxh64_str(f"{seed}:{p}:{i}") / float(2**63) for i in range(dim)
+        ]
+        warr = F.array(*[F.lit(x) for x in w])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x.cast("double")
-                * (
-                    F.xxhash64(F.concat_ws(":", F.lit(seed), F.lit(p), i)).cast("double")
-                    / F.lit(float(2**63))
-                ),
-            ),
+            F.zip_with(vec, warr, lambda x, wv: x.cast("double") * wv),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -135,44 +141,53 @@ def embedding_near_dups(
       entry point can never silently run a cartesian product at scale.
     Returns (id_a, id_b, cosine) with id_a < id_b.
     """
-    cand = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    base = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if exact:
-        n = cand.count()
+        n = base.count()
         if n > MAX_EXACT_ROWS:
             raise ValueError(
                 f"exact=True is the O(n²) verify baseline; input has {n} rows "
                 f"(> {MAX_EXACT_ROWS}). Use the default LSH path at scale."
             )
-        join_cond = [F.col("l._id") < F.col("r._id")]
-        dedupe = False
+        l, r = base.alias("l"), base.alias("r")
+        paired = l.join(r, on=[F.col("l._id") < F.col("r._id")]).select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._v").alias("_va"),
+            F.col("r._v").alias("_vb"),
+        )
     else:
         if dim is None:
-            first = cand.select(F.size("_v").alias("d")).first()
+            first = base.select(F.size("_v").alias("d")).first()
             if first is None:
                 dim = 1  # empty input: any plane width yields zero pairs
             else:
                 dim = int(first["d"])
-        cand = cand.select(
-            "_id", "_v",
+        # vectors never enter the bucket self-join (minhash rule): the
+        # L-table explode carries bare (_id, tbl, sig); pairs dedupe as
+        # ids only, then the two vectors re-attach by id
+        sigs = base.select(
+            "_id",
             F.explode(
                 _multi_table_sigs(F.col("_v"), dim, n_planes, n_tables)
             ).alias("_ts"),
-        ).select("_id", "_v", F.col("_ts.tbl").alias("_tbl"), F.col("_ts.sig").alias("_sig"))
-        join_cond = [
-            F.col("l._tbl") == F.col("r._tbl"),
-            F.col("l._sig") == F.col("r._sig"),
-            F.col("l._id") < F.col("r._id"),
-        ]
-        dedupe = n_tables > 1
-    l, r = cand.alias("l"), cand.alias("r")
-    paired = l.join(r, on=join_cond).select(
-        F.col("l._id").alias("id_a"),
-        F.col("r._id").alias("id_b"),
-        F.col("l._v").alias("_va"),
-        F.col("r._v").alias("_vb"),
-    )
-    if dedupe:
-        paired = paired.dropDuplicates(["id_a", "id_b"])
+        ).select("_id", F.col("_ts.tbl").alias("_tbl"), F.col("_ts.sig").alias("_sig"))
+        l, r = sigs.alias("l"), sigs.alias("r")
+        pairs = l.join(
+            r,
+            on=[
+                F.col("l._tbl") == F.col("r._tbl"),
+                F.col("l._sig") == F.col("r._sig"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        ).select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        if n_tables > 1:
+            pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        paired = pairs.join(
+            base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a"
+        ).join(
+            base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b"
+        )
     sim = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
     return paired.select(
         "id_a", "id_b", F.round(sim, round_to).alias("cosine")
@@ -441,25 +456,35 @@ def lsh_topk(
     ``n_tables`` > 1 OR-amplifies recall with L independent tables
     (candidate rows explode L×; the join key is (table, signature) so
     it is still ONE shuffle)."""
+    # vectors NEVER enter the candidate join (same rule as
+    # minhash_band_candidates): the L-table explode multiplies rows
+    # L×, and carrying two dim-float arrays through that shuffle +
+    # the dedupe costs L× the payload for nothing — bucket-join bare
+    # (id, tbl, sig) keys, dedupe pairs, then re-attach vectors by id
+    # (candidate side one hash join; query side broadcast).
     sig_c = embeddings.select(
         F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cvec"),
         F.explode(
             _multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)
         ).alias("ts"),
-    ).select("cand_id", "cvec", "ts.tbl", "ts.sig")
+    ).select("cand_id", "ts.tbl", "ts.sig")
     sig_q = queries.select(
         "query_id",
-        F.col(vec_col).alias("qvec"),
         F.explode(
             _multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)
         ).alias("ts"),
-    ).select("query_id", "qvec", "ts.tbl", "ts.sig")
+    ).select("query_id", "ts.tbl", "ts.sig")
     paired = (
         sig_c.join(sig_q, ["tbl", "sig"])
         .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
         .dropDuplicates(["query_id", "cand_id"])
     )
+    cvecs = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+    )
+    qvecs = queries.select("query_id", F.col(vec_col).alias("qvec"))
+    paired = paired.join(cvecs, "cand_id").join(F.broadcast(qvecs), "query_id")
     sim = _dot(F.col("cvec"), F.col("qvec")) / (
         _norm(F.col("cvec")) * _norm(F.col("qvec"))
     )

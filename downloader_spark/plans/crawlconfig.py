@@ -51,6 +51,16 @@ class CrawlConfig:
     # someone forgot a flag.
     bloom_probe: str = "auto"
     bloom_broadcast_max: int = 256 * 1024 * 1024  # auto-mode budget
+    # which approximate seen-filter accelerates the anti-join (north
+    # rule: "bloom/cuckoo"). 'bloom': OR-mergeable bitmaps — the
+    # default (cheapest maintenance). 'cuckoo': 16-bit-fingerprint
+    # tables (plans/cuckoo.py) — supports DELETION, the right choice
+    # when seen entries expire (re-crawl after TTL) or hosts are
+    # retracted. Both are accelerators only: the exact seen table
+    # stays the source of truth, so crawl semantics are identical.
+    seen_filter: str = "bloom"
+    cuckoo_table_rows: int = 1 << 14  # per-bucket rows (power of two)
+    cuckoo_slots_per_row: int = 4
     broadcast_robots: bool = True  # flip off beyond ~10^7 hosts
     dedupe_pages: bool = True  # drop duplicate url captures (latest wins)
     # below this seen-set size the exact broadcast anti-join beats the
@@ -68,6 +78,12 @@ class CrawlConfig:
                 "fall back to the broadcast path, which is unusable at "
                 "multi-GB filter geometry)"
             )
+        if self.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(
+                f"seen_filter={self.seen_filter!r} — must be 'bloom' or 'cuckoo'"
+            )
+        if self.cuckoo_table_rows & (self.cuckoo_table_rows - 1):
+            raise ValueError("cuckoo_table_rows must be a power of two")
 
     def bloom_bitmap_bytes(self) -> int:
         return self.bloom_num_buckets * self.bloom_bits_per_bucket // 8

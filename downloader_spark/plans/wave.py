@@ -32,6 +32,7 @@ from ..functions.udfs import canonicalize_udf, make_crawl_extract_udf
 from ..sources.snapshots import SnapshotWarehouse
 from .bloom import bloom_maybe_seen, bloom_maybe_seen_cogroup, build_bloom, merge_blooms
 from .crawlconfig import CrawlConfig
+from .cuckoo import build_cuckoo, cuckoo_maybe_seen_cogroup, merge_cuckoos
 from .politeness import build_robots_dim, with_politeness
 
 # custom_headers: per-URL request headers (reference
@@ -240,7 +241,7 @@ class CrawlEngine:
         immutable, so rollback is just pointer surgery)."""
         last_complete = self.next_wave - 1
         dropped = {}
-        for table in ("results", "seen", "bloom", "frontier"):
+        for table in ("results", "seen", "bloom", "cuckoo", "frontier"):
             d = self.wh.rollback_above(table, last_complete)
             if d:
                 dropped[table] = d
@@ -296,6 +297,14 @@ class CrawlEngine:
             num_hashes=cfg.bloom_num_hashes,
         )
 
+    def _cuckoo_geometry(self) -> dict:
+        cfg = self.cfg
+        return dict(
+            num_buckets=cfg.bloom_num_buckets,
+            table_rows=cfg.cuckoo_table_rows,
+            slots_per_row=cfg.cuckoo_slots_per_row,
+        )
+
     def _bloom_bitmap(self):
         """Broadcast handle for the CURRENT bloom snapshot, collected and
         broadcast once per snapshot and destroyed when superseded —
@@ -330,9 +339,15 @@ class CrawlEngine:
         if (
             cfg.use_bloom
             and total >= cfg.bloom_min_seen
-            and self._bloom_covered() == total
+            and self._filter_covered() == total
         ):
-            if cfg.resolved_bloom_probe() == "cogroup":
+            if cfg.seen_filter == "cuckoo":
+                # cuckoo has no broadcast mode: the bucket-local probe
+                # is its only (and scale-correct) path
+                probed = cuckoo_maybe_seen_cogroup(
+                    df, self.wh.read(self.spark, "cuckoo"), **self._cuckoo_geometry()
+                )
+            elif cfg.resolved_bloom_probe() == "cogroup":
                 # bucket-local path: no driver collect — the only probe
                 # that works once the filter is multi-GB (10^10 URLs)
                 probed = bloom_maybe_seen_cogroup(
@@ -347,8 +362,10 @@ class CrawlEngine:
             return definite.unionByName(maybes.join(seen, "url", "left_anti"))
         return df.join(seen, "url", "left_anti")
 
-    def _bloom_covered(self) -> int:
-        snaps = self.wh.snapshots("bloom")
+    def _filter_covered(self) -> int:
+        """Seen-count the CURRENT approximate filter covers (bloom or
+        cuckoo snapshot metadata, per cfg.seen_filter)."""
+        snaps = self.wh.snapshots(self.cfg.seen_filter)
         return snaps[-1].get("covered", -1) if snaps else -1
 
     def _append_seen(self, terminal: DataFrame, wave: int) -> int:
@@ -362,14 +379,28 @@ class CrawlEngine:
         wh.commit(terminal, "seen", wave=wave)
         total_after = self._seen_total()
         if cfg.use_bloom and total_after >= cfg.bloom_min_seen:
-            if self._bloom_covered() == total_before:
-                new_bloom = merge_blooms(
-                    wh.read(spark, "bloom"),
-                    build_bloom(terminal, **self._bloom_geometry()),
-                )
-            else:  # threshold crossing (or stale): one full build
-                new_bloom = build_bloom(self.read_seen(), **self._bloom_geometry())
-            wh.commit(new_bloom, "bloom", wave=wave, extra={"covered": total_after})
+            incremental = self._filter_covered() == total_before
+            if cfg.seen_filter == "cuckoo":
+                geo = self._cuckoo_geometry()
+                if incremental:
+                    new_filt = merge_cuckoos(
+                        wh.read(spark, "cuckoo"),
+                        build_cuckoo(terminal, **geo),
+                        table_rows=geo["table_rows"],
+                        slots_per_row=geo["slots_per_row"],
+                    )
+                else:  # threshold crossing (or stale): one full build
+                    new_filt = build_cuckoo(self.read_seen(), **geo)
+                wh.commit(new_filt, "cuckoo", wave=wave, extra={"covered": total_after})
+            else:
+                if incremental:
+                    new_bloom = merge_blooms(
+                        wh.read(spark, "bloom"),
+                        build_bloom(terminal, **self._bloom_geometry()),
+                    )
+                else:  # threshold crossing (or stale): one full build
+                    new_bloom = build_bloom(self.read_seen(), **self._bloom_geometry())
+                wh.commit(new_bloom, "bloom", wave=wave, extra={"covered": total_after})
         # periodic compaction keeps the snapshot union shallow; the
         # superseded snapshots are expired by _gc_seen AFTER this
         # wave's metrics commit marker (never here — see _gc_seen)
@@ -681,7 +712,7 @@ class CrawlEngine:
         # for forward progress; history beyond keep_last is expired
         if cfg.snapshot_keep_last:
             wh.expire_snapshots("frontier", cfg.snapshot_keep_last)
-            wh.expire_snapshots("bloom", cfg.snapshot_keep_last)
+            wh.expire_snapshots(cfg.seen_filter, cfg.snapshot_keep_last)
 
         pol.unpersist()
         selected.unpersist()

@@ -385,6 +385,51 @@ def q_seen_antijoin(spark, sf_dir):
 
 
 @_q(
+    "cuckoo_seen_filter",
+    """
+    SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+           true AS maybe_seen
+    FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id % 4 <> 0
+    ORDER BY url
+    """,
+)
+def q_cuckoo_seen_filter(spark, sf_dir):
+    """Cuckoo URL-seen filter (north rule: "bloom/cuckoo"), exercised
+    end-to-end through its DELETION capability: build over the even-doc
+    urls, REMOVE the doc_id%4==0 members, probe every doc url, and
+    return the verdicts for the KEPT members (doc_id%2==0 ∧ %4≠0). The
+    cuckoo no-false-negative invariant makes every returned verdict
+    provably true — a hard oracle over build+remove+probe (the same
+    invariant-oracle pattern as simhash identical-text). FP rate on
+    unseen urls and exact deletion behavior are pinned by
+    tests/test_cuckoo.py (hash-dependent — not SQL-expressible)."""
+    from .plans.cuckoo import (
+        build_cuckoo,
+        cuckoo_maybe_seen_cogroup,
+        cuckoo_remove,
+    )
+
+    geo = dict(num_buckets=4, table_rows=1 << 12, slots_per_row=4)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "doc_id",
+    )
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select("url")
+    deletions = docs.filter(F.col("doc_id") % 4 == 0).select("url")
+    filt = cuckoo_remove(build_cuckoo(seen, **geo), deletions, **geo)
+    probed = cuckoo_maybe_seen_cogroup(docs, filt, **geo)
+    return (
+        probed.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 4 != 0))
+        .select("url", "maybe_seen")
+        .orderBy("url")
+    )
+
+
+@_q(
     "fetch_join",
     """
     SELECT c.c_mktsegment AS segment,
