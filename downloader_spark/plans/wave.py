@@ -621,52 +621,89 @@ class CrawlEngine:
         )
 
         # 6. seen ∪= terminal outcomes (ok, denied, failed) — APPENDED as
-        #    a new snapshot + incremental Bloom OR-merge (never a rewrite)
+        #    a new snapshot + incremental filter merge (never a rewrite),
+        #    OVERLAPPED with the frontier computation below: the
+        #    discovered-link filter is constructed against the PRE-WAVE
+        #    seen/filter snapshots (wh.read resolves snapshot paths at
+        #    plan construction, so the concurrent append can't shift it)
+        #    and this wave's terminals are excluded by an explicit
+        #    anti-join — set-identical to filtering against the updated
+        #    seen table: (discovered − seen_pre) − terminal ≡
+        #    discovered − (seen_pre ∪ terminal). Both threads write
+        #    DISJOINT tables (seen/bloom/cuckoo vs frontier); the wave's
+        #    metrics commit marker still joins every thread first, so a
+        #    crash anywhere keeps recovery semantics unchanged (rollback
+        #    is per-table above the marker, order-independent).
         terminal = (
             ok.select("url")
             .unionByName(denied.select("url"))
             .unionByName(failed.select("url"))
             .unionByName(too_large.select("url"))
         )
-        n_seen_out = self._append_seen(terminal, wave)
+        obs_disc = Observation(f"disc-{wave}")
+        discovered_new = (
+            self._filter_unseen(discovered)  # pre-wave snapshots
+            .join(terminal, "url", "left_anti")
+            .observe(obs_disc, F.count(F.lit(1)).alias("n"))
+        )
+
+        seen_out: list[int] = []
+        seen_err: list[BaseException] = []
+
+        def _commit_seen() -> None:
+            try:
+                seen_out.append(self._append_seen(terminal, wave))
+            except BaseException as e:  # re-raised on the main thread
+                seen_err.append(e)
+
+        import threading
+
+        seen_thread = threading.Thread(
+            target=_commit_seen, name=f"seen-commit-{wave}", daemon=True
+        )
+        seen_thread.start()
 
         # 7. next frontier = deferred ∪ retries ∪ (discovered − seen),
         #    deduped by url (min depth → max score; max attempt wins).
         #    n_discovered observed during the frontier write.
         # deferred ≡ unseen − selected − denied ≡ allowed − selected
         # (denied ∩ allowed = ∅, selected ⊆ allowed) — reads the pol cache
-        deferred = allowed.join(
-            selected.select("url"), "url", "left_anti"
-        ).select("url", "host", "depth", "score", "attempt", "custom_headers")
-        retry_front = retry.select(
-            "url", "host", "depth", "score",
-            (F.col("attempt") + 1).alias("attempt"), "custom_headers",
-        )
-        obs_disc = Observation(f"disc-{wave}")
-        discovered_new = self._filter_unseen(discovered).observe(
-            obs_disc, F.count(F.lit(1)).alias("n")
-        )
-        frontier_out = (
-            deferred.unionByName(retry_front)
-            .unionByName(discovered_new)
-            .groupBy("url")
-            .agg(
-                F.first("host").alias("host"),
-                F.min("depth").alias("depth"),
-                F.max("score").alias("score"),
-                F.max("attempt").alias("attempt"),
-                # only one source row per url can carry headers (the
-                # deferred/retry row); discovered rows are always NULL
-                F.first("custom_headers", ignorenulls=True).alias("custom_headers"),
+        try:
+            deferred = allowed.join(
+                selected.select("url"), "url", "left_anti"
+            ).select("url", "host", "depth", "score", "attempt", "custom_headers")
+            retry_front = retry.select(
+                "url", "host", "depth", "score",
+                (F.col("attempt") + 1).alias("attempt"), "custom_headers",
             )
-            .repartition(
-                # estimate: deferred bounded by frontier_in; discovery
-                # bounded by ok-pages × links/page
-                self._n_shuffle(n_frontier_in + n_frontier_in // 2 + 64),
-                F.pmod(F.xxhash64("host"), F.lit(cfg.num_host_buckets)),
+            frontier_out = (
+                deferred.unionByName(retry_front)
+                .unionByName(discovered_new)
+                .groupBy("url")
+                .agg(
+                    F.first("host").alias("host"),
+                    F.min("depth").alias("depth"),
+                    F.max("score").alias("score"),
+                    F.max("attempt").alias("attempt"),
+                    # only one source row per url can carry headers (the
+                    # deferred/retry row); discovered rows are always NULL
+                    F.first("custom_headers", ignorenulls=True).alias("custom_headers"),
+                )
+                .repartition(
+                    # estimate: deferred bounded by frontier_in; discovery
+                    # bounded by ok-pages × links/page
+                    self._n_shuffle(n_frontier_in + n_frontier_in // 2 + 64),
+                    F.pmod(F.xxhash64("host"), F.lit(cfg.num_host_buckets)),
+                )
             )
-        )
-        wh.commit(frontier_out, "frontier", wave=wave)
+            wh.commit(frontier_out, "frontier", wave=wave)
+        finally:
+            # the seen chain must never be left in flight when the wave
+            # propagates (same recover()-race rule as results_thread)
+            seen_thread.join()
+        if seen_err:
+            raise seen_err[0]
+        n_seen_out = seen_out[0]
         n_discovered = int(obs_disc.get["n"])
         n_frontier_out = wh.snapshots("frontier")[-1]["n_rows"]
 
