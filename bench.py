@@ -378,6 +378,49 @@ def _bloom_probe_throughput(spark, n_cand=2_000_000, n_seen=1_000_000):
     return out
 
 
+def _cuckoo_probe_throughput(spark, n_cand=2_000_000, n_seen=1_000_000):
+    """Cuckoo-filter probe rate at the same candidate/seen scale as the
+    Bloom section — the deletable-filter alternative's cost profile
+    (bucket-local cogroup probe; build is the sequential kicking loop,
+    parallel across buckets)."""
+    from pyspark.sql import functions as F
+
+    from downloader_spark.plans.cuckoo import (
+        build_cuckoo,
+        cuckoo_maybe_seen_cogroup,
+    )
+
+    def urls():
+        return F.concat(
+            F.lit("http://site"),
+            F.pmod(F.xxhash64("id"), F.lit(50_000)).cast("string"),
+            F.lit(".example/p/"),
+            F.col("id").cast("string"),
+        )
+
+    cand = spark.range(n_cand).select(urls().alias("url")).cache()
+    seen = spark.range(0, n_seen * 2, 2).select(urls().alias("url")).cache()
+    cand.count(), seen.count()
+    geo = dict(num_buckets=64, table_rows=1 << 13, slots_per_row=4)
+    t0 = time.monotonic()
+    filt = build_cuckoo(seen, **geo).cache()
+    filt.count()
+    build_sec = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    n_maybe = cuckoo_maybe_seen_cogroup(cand, filt, **geo).filter("maybe_seen").count()
+    dt = time.monotonic() - t0
+    out = {
+        "table_mib": geo["num_buckets"] * geo["table_rows"] * geo["slots_per_row"] * 2 // (1 << 20),
+        "n_probed": n_cand,
+        "build_sec": build_sec,
+        "probe_urls_per_sec": round(n_cand / dt, 2),
+        "maybe_seen": n_maybe,
+    }
+    for df in (cand, seen, filt):
+        df.unpersist()
+    return out
+
+
 def _session(cores):
     from downloader_spark.session import get_spark
 
@@ -401,6 +444,7 @@ def main() -> None:
     wave_curve = _wave_scale_curve(spark)
     frontier_plan = _frontier_plan_throughput(spark)
     bloom_probe = _bloom_probe_throughput(spark)
+    cuckoo_probe = _cuckoo_probe_throughput(spark)
     spark.stop()
 
     spark = _session(CPUS)
@@ -424,6 +468,7 @@ def main() -> None:
         "wave_scale_curve": wave_curve,
         "frontier_plan": frontier_plan,
         "bloom_probe": bloom_probe,
+        "cuckoo_probe": cuckoo_probe,
         "ivf_index": ivf,
     }
 

@@ -166,12 +166,7 @@ def embedding_near_dups(
         # vectors never enter the bucket self-join (minhash rule): the
         # L-table explode carries bare (_id, tbl, sig); pairs dedupe as
         # ids only, then the two vectors re-attach by id
-        sigs = base.select(
-            "_id",
-            F.explode(
-                _multi_table_sigs(F.col("_v"), dim, n_planes, n_tables)
-            ).alias("_ts"),
-        ).select("_id", F.col("_ts.tbl").alias("_tbl"), F.col("_ts.sig").alias("_sig"))
+        sigs = _exploded_sigs(base, ["_id"], F.col("_v"), dim, n_planes, n_tables)
         l, r = sigs.alias("l"), sigs.alias("r")
         pairs = l.join(
             r,
@@ -427,7 +422,14 @@ def _multi_table_sigs(vec, dim: int, n_planes: int, n_tables: int):
     """Array of (table, signature) structs — L independent hyperplane
     tables (seed offset per table). OR-amplification: a pair is a
     candidate if ANY table buckets it together, recall
-    1−(1−p^planes)^L for match prob p per plane."""
+    1−(1−p^planes)^L for match prob p per plane.
+
+    NATIVE form, kept as the executable spec: the query paths use
+    make_hyperplane_sigs_udf (same weights, one Arrow node) because
+    this form compiles tables × planes aggregate-HOFs each carrying a
+    dim-literal array — measured ~7 s of pure codegen/analysis per cold
+    query at L=24 (test_lsh_udf_matches_native_signatures pins the two
+    forms equal)."""
     return F.array(
         *[
             F.struct(
@@ -436,6 +438,51 @@ def _multi_table_sigs(vec, dim: int, n_planes: int, n_tables: int):
             )
             for t in range(n_tables)
         ]
+    )
+
+
+def make_hyperplane_sigs_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """Arrow-batched signature computation: ONE numpy matmul per batch
+    against the (dim × L·planes) weight matrix replaces L·planes
+    aggregate-HOF projections (each a dim-element literal array) — the
+    hash-grid weights w[t,p][i] = xxhash64(f"{seed+1000t}:{p}:{i}")/2⁶³
+    are identical to hyperplane_signature's, so buckets match the
+    native spec (pinned by test). Returns array<long>: element t is
+    table t's signature."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from ..functions.hashing import xxh64_str
+
+    W = np.empty((dim, n_tables * n_planes), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for i in range(dim):
+                W[i, t * n_planes + p] = xxh64_str(
+                    f"{seed + 1000 * t}:{p}:{i}"
+                ) / float(2**63)
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (M @ W) >= 0  # n × (tables·planes)
+        per_table = (
+            bits.reshape(len(v), n_tables, n_planes).astype(np.int64) << shifts
+        ).sum(axis=2)
+        return pd.Series([row.tolist() for row in per_table])
+
+    return sigs
+
+
+def _exploded_sigs(df: DataFrame, id_cols: list[str], vec, dim, n_planes, n_tables):
+    """(id_cols..., _tbl, _sig) — one row per (row, table)."""
+    sigs = make_hyperplane_sigs_udf(dim, n_planes, n_tables)
+    return df.select(
+        *id_cols, F.posexplode(sigs(vec)).alias("_tbl", "_sig")
     )
 
 
@@ -462,20 +509,16 @@ def lsh_topk(
     # the dedupe costs L× the payload for nothing — bucket-join bare
     # (id, tbl, sig) keys, dedupe pairs, then re-attach vectors by id
     # (candidate side one hash join; query side broadcast).
-    sig_c = embeddings.select(
-        F.col(id_col).alias("cand_id"),
-        F.explode(
-            _multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)
-        ).alias("ts"),
-    ).select("cand_id", "ts.tbl", "ts.sig")
-    sig_q = queries.select(
-        "query_id",
-        F.explode(
-            _multi_table_sigs(F.col(vec_col), dim, n_planes, n_tables)
-        ).alias("ts"),
-    ).select("query_id", "ts.tbl", "ts.sig")
+    sig_c = _exploded_sigs(
+        embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v")),
+        ["cand_id"], F.col("v"), dim, n_planes, n_tables,
+    )
+    sig_q = _exploded_sigs(
+        queries.select("query_id", F.col(vec_col).alias("v")),
+        ["query_id"], F.col("v"), dim, n_planes, n_tables,
+    )
     paired = (
-        sig_c.join(sig_q, ["tbl", "sig"])
+        sig_c.join(sig_q, ["_tbl", "_sig"])
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id")
         .dropDuplicates(["query_id", "cand_id"])

@@ -260,3 +260,29 @@ def test_ivf_k256_centroids_and_sampled_fit(spark):
     # a planted near-duplicate sits ~0.01 away: its cell is probed first
     assert hits >= 90, f"top-1 recall {hits}/100 at nprobe=8, k=256"
     index.close()
+
+
+def test_lsh_udf_matches_native_signatures(vecs):
+    """The Arrow matmul signature UDF must bucket exactly like the
+    native aggregate-HOF spec (same hash-grid weights; the UDF exists
+    because the native form pays ~7s of codegen per cold query at
+    L=24)."""
+    from pyspark.sql import functions as F
+
+    from downloader_spark.operators.similarity import (
+        _multi_table_sigs,
+        make_hyperplane_sigs_udf,
+    )
+
+    df, _ = vecs
+    native = df.select(
+        "vec_id",
+        F.explode(_multi_table_sigs(F.col("embedding"), 8, 4, 3)).alias("ts"),
+    ).select("vec_id", "ts.tbl", "ts.sig").collect()
+    udf = make_hyperplane_sigs_udf(8, 4, 3)
+    got = df.select(
+        "vec_id", F.posexplode(udf(F.col("embedding"))).alias("tbl", "sig")
+    ).collect()
+    assert {(r["vec_id"], r["tbl"], r["sig"]) for r in native} == {
+        (r["vec_id"], r["tbl"], r["sig"]) for r in got
+    }
