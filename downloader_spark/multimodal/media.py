@@ -12,7 +12,6 @@ way.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -68,8 +67,6 @@ def media_features_udf(df: DataFrame, payload_col: str = "payload") -> DataFrame
     """Arrow-batched byte-level features (no codec needed): size, mean,
     entropy, 16-bin histogram. The real decode would slot into the same
     mapInPandas body."""
-    import math
-
     import numpy as np
 
     passthrough = [f for f in df.schema.fields if f.name != payload_col]

@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--synthetic-pages-per-host", type=int, default=40)
     ap.add_argument("--wave-seconds", type=int, default=30)
     ap.add_argument("--max-depth", type=int, default=3)
+    ap.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default="bloom",
+                    help="approximate seen-filter backend (cuckoo = deletable)")
+    ap.add_argument("--bloom-probe", choices=["auto", "broadcast", "cogroup"],
+                    default="auto", help="bloom probe mode (auto picks by geometry)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,7 +56,10 @@ def main() -> None:
             pages_per_host=args.synthetic_pages_per_host,
         ).cache()
 
-    cfg = CrawlConfig(wave_seconds=args.wave_seconds, max_depth=args.max_depth)
+    cfg = CrawlConfig(
+        wave_seconds=args.wave_seconds, max_depth=args.max_depth,
+        seen_filter=args.seen_filter, bloom_probe=args.bloom_probe,
+    )
     eng = CrawlEngine(spark, args.warehouse, pages, cfg)
 
     if eng.wh.current_id("frontier") is None:  # fresh warehouse → seed it
