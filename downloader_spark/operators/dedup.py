@@ -539,3 +539,68 @@ def minhash_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def repeated_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document repeated word-n-gram detection — the span-level
+    dedup primitive LLM pipelines run besides document-level near-dup
+    (C4 dropped lines repeated ≥4×; RefinedWeb/Gopher flag documents
+    dominated by corpus-frequent spans; the public recipe family this
+    re-expresses — no reference-repo counterpart, instructed addition).
+
+    Per document: how many of its n-gram OCCURRENCES (duplicates
+    within the doc counted) belong to grams appearing in ≥ ``min_df``
+    DISTINCT documents, and how many distinct such grams it contains.
+    Downstream policy (drop spans, drop docs over a ratio) composes on
+    top of these counts.
+
+    Scale shape: grams are hashed to longs before they ever shuffle
+    (string grams would be ~n× the payload); doc-frequency is one
+    hash-agg over distinct (doc, gram); the occurrence re-join is an
+    inverted-index equi-join on the gram hash — the same
+    bucketed-candidate pattern as ngram_jaccard_pairs, never all-pairs.
+    Hot grams ARE the skew (every doc shares them); AQE skew-join
+    handles the join, and the groupBy is a partial-agg hash-agg.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    words = F.split(norm, " ")
+    gram_hashes = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - n + 1),
+            lambda i: F.xxhash64(F.array_join(F.slice(words, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(gram_hashes).alias("g")
+    )
+    doc_freq = (
+        occ.distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("g")
+    )
+    per_doc = (
+        occ.join(doc_freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rep_occurrences"),
+            F.count_distinct("g").cast("long").alias("n_rep_grams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_rep_occurrences", F.lit(0)).alias("n_rep_occurrences"),
+            F.coalesce("n_rep_grams", F.lit(0)).alias("n_rep_grams"),
+        )
+    )

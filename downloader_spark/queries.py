@@ -807,6 +807,49 @@ def q_near_dup_components(spark, sf_dir):
     return connected_keepers(pairs).orderBy("node")
 
 
+@_q(
+    "repeated_ngrams",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS w FROM norm
+    ), occ AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS g
+      FROM toks
+    ), freq AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ)
+      GROUP BY g HAVING COUNT(*) >= 2
+    ), s AS (
+      SELECT occ.doc_id,
+             COUNT(*) AS n_occ,
+             COUNT(DISTINCT occ.g) AS n_grams
+      FROM occ JOIN freq ON occ.g = freq.g GROUP BY occ.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_occ, 0) AS BIGINT) AS n_rep_occurrences,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_rep_grams
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """,
+)
+def q_repeated_ngrams(spark, sf_dir):
+    """Span-level dedup primitive (C4/RefinedWeb-style): per document,
+    occurrences + distinct count of word 3-grams shared with ≥2 other
+    documents. Spark hashes grams to longs before the shuffle; the
+    oracle recomputes over gram STRINGS — equality holds modulo 64-bit
+    hash collisions (~(n_grams)²/2⁶⁴, vanishing at oracle scale), the
+    same argument the minhash family's oracle rests on."""
+    from .operators.dedup import repeated_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_ngram_stats(docs, "doc_id", F.col("text"), n=3, min_df=2)
+
+
 @_q("minhash_near_dups", _JACCARD_ORACLE)
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash-LSH candidates verified by EXACT shingle Jaccard — with

@@ -195,3 +195,31 @@ def test_connected_keepers_releases_cache(spark):
     # only the localCheckpoint blocks of the RESULT may remain; none of
     # the loop's persist() handles (labels/sym rounds) survive the call
     assert n_persistent() <= before + 1
+
+
+def test_repeated_ngram_stats_planted(spark):
+    """Planted cross-doc span: the shared 4-word sentence yields two
+    repeated 3-grams in each doc containing it; within-doc repetition
+    alone never counts (min_df is across DISTINCT docs)."""
+    from downloader_spark.operators.dedup import repeated_ngram_stats
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over things"),
+        (2, "something else entirely then the quick brown fox appears"),
+        (3, "alpha beta gamma alpha beta gamma"),  # self-repeat only
+        (4, "totally unrelated text body here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_rep_occurrences"], r["n_rep_grams"])
+        for r in repeated_ngram_stats(df, "doc_id", F.col("text"), n=3, min_df=2).collect()
+    }
+    # shared grams between docs 1 and 2: "the quick brown", "quick brown fox"
+    assert got[1] == (2, 2)
+    assert got[2] == (2, 2)
+    # doc 3 repeats its own grams but shares none across docs
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)
+    assert got[5] == (0, 0)
