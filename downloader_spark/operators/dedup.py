@@ -45,16 +45,34 @@ def _normalized_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(text), r"\s+", " ")
 
 
-def shingles(text: Column, k: int = 5) -> Column:
-    """Word k-shingles as an array<string> — native (split + transform +
-    slice + concat_ws), no Python."""
-    words = F.split(F.trim(_normalized_text(text)), " ")
-    n = F.size(words)
+def words_of(text: Column) -> Column:
+    """Normalized word array (lower, collapse whitespace, trim, split)."""
+    return F.split(F.trim(_normalized_text(text)), " ")
+
+
+def shingles_of_words(w: Column, k: int = 5) -> Column:
+    """Word k-shingles from an ALREADY-SPLIT word array.
+
+    ``w`` must be a materialized column (a prior projection), never the
+    split expression inline: an expression referenced inside a
+    ``transform`` lambda is re-inlined PER ARRAY ELEMENT, so the inline
+    form recomputes lower+regexp+split over the full text once per
+    gram — measured 14× slower (11 s vs 0.8 s for the sf0.1 gram
+    explode). A separate select is enough: CollapseProject keeps
+    multi-referenced non-cheap projections as their own operator."""
+    n = F.size(w)
     # sequence is empty when fewer than k words → fall back to whole text
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n >= k, F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    )).otherwise(F.array(F.trim(_normalized_text(text))))
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
+    )).otherwise(F.array(F.concat_ws(" ", w)))  # == the trimmed normalized text
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-shingles as an array<string> — native, no Python.
+    Compat/spec form over raw text; hot paths split first and use
+    shingles_of_words (see its docstring for the 14× inline penalty)."""
+    return shingles_of_words(words_of(text), k)
 
 
 def minhash_signatures(
@@ -77,10 +95,11 @@ def minhash_signatures(
     formulation (array_min∘transform per permutation) type-checks but
     compiles to a pathological expression tree (>1 MiB codegen for 64
     hashes) — measured 30-60s on 500 docs; this form is <2s."""
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(text, shingle_k)).alias("_g"),
-    ).select("_id", F.xxhash64("_g").alias("_gl"))
+    grams = (
+        df.select(F.col(id_col).alias("_id"), words_of(text).alias("_w"))
+        .select("_id", F.explode(shingles_of_words(F.col("_w"), shingle_k)).alias("_g"))
+        .select("_id", F.xxhash64("_g").alias("_gl"))
+    )
     mins = [
         F.min(F.xxhash64("_gl", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
     ]
@@ -182,10 +201,11 @@ def simhash64(
     Same explode-then-aggregate shape as minhash_signatures: per bit
     position, SUM over token hashes of (bit ? +1 : −1) as 64 plain SUM
     aggregates, then one projection assembles the sign bits."""
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(text, shingle_k)).alias("_g"),
-    ).select("_id", F.xxhash64("_g").alias("_h"))
+    grams = (
+        df.select(F.col(id_col).alias("_id"), words_of(text).alias("_w"))
+        .select("_id", F.explode(shingles_of_words(F.col("_w"), shingle_k)).alias("_g"))
+        .select("_id", F.xxhash64("_g").alias("_h"))
+    )
     sums = [
         F.sum(
             (F.shiftright("_h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
@@ -277,7 +297,9 @@ def ngram_jaccard_pairs(
     and the threshold silently drops true near-dups). max_df remains a
     recall/cost knob, but the estimate direction is now consistent.
     """
-    base = df.select(F.col(id_col).alias("_id"), shingles(text, k).alias("_gs"))
+    base = df.select(F.col(id_col).alias("_id"), words_of(text).alias("_w")).select(
+        "_id", shingles_of_words(F.col("_w"), k).alias("_gs")
+    )
     grams = base.select("_id", F.explode("_gs").alias("_g")).select(
         "_id", F.xxhash64("_g").alias("gram")
     )
@@ -524,9 +546,11 @@ def minhash_verified_pairs(
     cands = minhash_band_candidates(
         df, id_col, text, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
     )
-    gs = df.select(
-        F.col(id_col).alias("_gid"),
-        F.transform(shingles(text, shingle_k), lambda g: F.xxhash64(g)).alias("_gs"),
+    gs = df.select(F.col(id_col).alias("_gid"), words_of(text).alias("_w")).select(
+        "_gid",
+        F.transform(
+            shingles_of_words(F.col("_w"), shingle_k), lambda g: F.xxhash64(g)
+        ).alias("_gs"),
     )
     a = gs.select(F.col("_gid").alias("id_a"), F.col("_gs").alias("_gsa"))
     b = gs.select(F.col("_gid").alias("id_b"), F.col("_gs").alias("_gsb"))
@@ -568,18 +592,25 @@ def repeated_ngram_stats(
     Hot grams ARE the skew (every doc shares them); AQE skew-join
     handles the join, and the groupBy is a partial-agg hash-agg.
     """
-    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
-    words = F.split(norm, " ")
+    w = F.col("_w")
     gram_hashes = F.when(
-        F.size(words) >= n,
+        F.size(w) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - n + 1),
-            lambda i: F.xxhash64(F.array_join(F.slice(words, i, n), " ")),
+            F.sequence(F.lit(1), F.size(w) - n + 1),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    occ = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(gram_hashes).alias("g")
+    # split ONCE in its own projection — inline words re-inline into the
+    # transform lambda per gram (see shingles_of_words: measured 14×)
+    occ = df.select(F.col(id_col).alias("doc_id"), words_of(text).alias("_w")).select(
+        "doc_id", F.explode(gram_hashes).alias("g")
     )
+    # two consumers (doc-frequency agg + occurrence re-join) — without a
+    # cache the split+explode scan runs twice (same reasoning, and the
+    # same spill-safe level, as ngram_jaccard_pairs' gram cache)
+    from pyspark import StorageLevel
+
+    occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
     doc_freq = (
         occ.distinct()
         .groupBy("g")
