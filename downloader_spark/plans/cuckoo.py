@@ -125,13 +125,16 @@ def build_cuckoo(
         if len(pdf):
             hi = pdf["_hi"].to_numpy(dtype=np.int64).view(np.uint64)
             hf = pdf["_hf"].to_numpy(dtype=np.int64).view(np.uint64)
-            fp, i1, _ = _fp_and_rows(hi, hf, table_rows)
-            # duplicate urls insert once (sets, like the seen table)
-            uniq = np.unique(np.stack([fp.astype(np.int64), i1]), axis=1)
-            _insert_all(
-                table, stash, uniq[0].astype(np.uint16), uniq[1],
-                table_rows, max_kicks,
-            )
+            # duplicate URLS insert once (sets, like the seen table) —
+            # dedup on the full 128-bit (hi, hf) pair, NOT on (fp, i1):
+            # distinct urls that collide on (fingerprint, primary row)
+            # must keep SEPARATE slot copies so deleting one cannot
+            # evict the other's only copy (Fan et al. store per-item
+            # duplicates to make deletion safe; r3 collapsed them and
+            # broke the no-false-negative-after-deletion contract).
+            uniq = np.unique(np.stack([hi, hf]), axis=1)
+            fp, i1, _ = _fp_and_rows(uniq[0], uniq[1], table_rows)
+            _insert_all(table, stash, fp, i1, table_rows, max_kicks)
         return pd.DataFrame(
             {
                 "bucket": [bucket],

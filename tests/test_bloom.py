@@ -139,28 +139,3 @@ def test_bloom_probe_validation_and_auto_geometry():
 
     forced = CrawlConfig(bloom_probe="broadcast")
     assert forced.resolved_bloom_probe() == "broadcast"
-
-
-def test_bloom_probe_validation_and_auto_geometry():
-    """CrawlConfig rejects typo'd probe modes (ADVICE r2) and 'auto'
-    resolves by bitmap geometry: past the broadcast budget the engine
-    must never collect bitmaps to the driver."""
-    import pytest as _pytest
-
-    from downloader_spark.plans.crawlconfig import CrawlConfig
-
-    with _pytest.raises(ValueError, match="bloom_probe"):
-        CrawlConfig(bloom_probe="co-group")
-
-    small = CrawlConfig()  # default geometry: 16 x 16 KiB = 256 KiB
-    assert small.bloom_probe == "auto"
-    assert small.resolved_bloom_probe() == "broadcast"
-
-    big = CrawlConfig(
-        bloom_num_buckets=1024, bloom_bits_per_bucket=1 << 25
-    )  # 4 GiB bitmap
-    assert big.bloom_bitmap_bytes() == 4 * 1024**3
-    assert big.resolved_bloom_probe() == "cogroup"
-
-    forced = CrawlConfig(bloom_probe="broadcast")
-    assert forced.resolved_bloom_probe() == "broadcast"

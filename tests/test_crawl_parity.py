@@ -219,34 +219,6 @@ def test_duplicate_seed_headers_first_wins(spark, web, tmp_path_factory):
     eng.close()
 
 
-def test_duplicate_seed_headers_first_wins(spark, web, tmp_path_factory):
-    """Seeds canonicalizing to the SAME url but carrying different
-    custom_headers dedupe deterministically first-wins by seed order
-    (ADVICE r2: dropDuplicates kept an arbitrary row) - engine ==
-    simulator for this input class."""
-    from downloader_spark.crawl.simulator import simulate_crawl
-
-    pages, page_map, _seeds = web
-    seeds = [
-        ("http://site0000.example/p/0", {"X-Tag": "first"}),
-        ("http://site0000.example/p/0", {"X-Tag": "second"}),
-        ("http://SITE0000.example/p/0#frag", {"X-Tag": "third"}),  # same canonical
-        "http://site0001.example/p/0",
-        ("http://site0001.example/p/0", {"X-Tag": "late"}),  # headerless seed came first
-    ]
-    cfg = CrawlConfig(wave_seconds=10, max_per_host_per_wave=5, max_depth=0)
-    eng = CrawlEngine(spark, str(tmp_path_factory.mktemp("wh_dupseed")), pages, cfg)
-    eng.init(seeds)
-    eng.run(max_waves=2)
-    sim = simulate_crawl(page_map, seeds, cfg, max_waves=2)
-    rows = {r["url"]: r["custom_headers"] for r in eng.all_results().collect()}
-    assert rows["http://site0000.example/p/0"] == {"X-Tag": "first"}
-    assert rows["http://site0001.example/p/0"] is None
-    for url, h in sim.headers.items():
-        assert rows[url] == h, url
-    eng.close()
-
-
 def test_accelerator_flags_never_change_semantics(spark, tmp_path_factory):
     """use_bloom=False (pure exact anti-join) and broadcast_robots=False
     (shuffle robots join) must crawl EXACTLY like the defaults: these

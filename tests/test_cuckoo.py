@@ -89,6 +89,49 @@ def test_stash_overflow_keeps_no_false_negatives(spark):
     assert stash_len >= 300 - 64  # everything homeless went to the stash
 
 
+def test_fp_row_collision_survives_deletion(spark):
+    """ADVICE r3 (medium): distinct urls that collide on (fingerprint,
+    primary row) must keep SEPARATE slot copies — deduping inserts on
+    (fp, i1) let cuckoo_remove of one such url delete the other's ONLY
+    copy, a false negative after a valid deletion. Construct a real
+    collision with the oracle arithmetic and pin the contract."""
+    from downloader_spark.functions.hashing import xxh64_str
+    from downloader_spark.plans.cuckoo import _MASK64
+
+    rows = 2  # tiny row space → birthday collision within a few hundred urls
+    by_key: dict[tuple[int, int], list[str]] = {}
+    pair = None
+    for i in range(20_000):
+        url = f"http://c.example/x/{i}"
+        hi = xxh64_str(url + "\x02") & _MASK64
+        hf = xxh64_str(url + "\x03") & _MASK64
+        key = (hf % 65535 + 1, hi % rows)
+        by_key.setdefault(key, []).append(url)
+        if len(by_key[key]) == 2:
+            pair = by_key[key]
+            break
+    assert pair is not None, "no (fp, i1) collision found in 20k urls"
+    a, b = pair
+    geo = dict(num_buckets=1, table_rows=rows, slots_per_row=4)
+    seen = spark.createDataFrame([(a,), (b,)], "url string")
+    filt = build_cuckoo(seen, **geo)
+    # both stored: two copies of the same fingerprint in the same row
+    removed = cuckoo_remove(filt, spark.createDataFrame([(a,)], "url string"), **geo)
+    kept = cuckoo_maybe_seen_cogroup(
+        spark.createDataFrame([(b,)], "url string"), removed, **geo
+    )
+    assert kept.filter(~F.col("maybe_seen")).count() == 0, (
+        "deleting one of two (fp,i1)-colliding urls false-negatived the other"
+    )
+    # the SAME url duplicated still inserts once (set semantics)
+    dup = build_cuckoo(
+        spark.createDataFrame([(a,), (a,)], "url string"), **geo
+    ).collect()[0]
+    import numpy as np
+    stored = np.frombuffer(bytes(dup["table"]), dtype=np.uint16)
+    assert int((stored != 0).sum()) + len(bytes(dup["stash"])) // 2 == 1
+
+
 def test_power_of_two_enforced(spark):
     with pytest.raises(ValueError, match="power of two"):
         build_cuckoo(_urls(spark, 0, 10), num_buckets=1, table_rows=1000)
