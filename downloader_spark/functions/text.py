@@ -109,6 +109,88 @@ def quality_score(text: Column) -> Column:
     return F.round(F.greatest(F.lit(0.0), F.least(F.lit(100.0), score)), 4)
 
 
+# Published Gopher/MassiveText repetition-free quality thresholds
+# (Rae et al. 2021 §A1.1, public paper; RefinedWeb carries the same
+# family) — the industry-default rule-pack a pipeline user reaches for.
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_ratio": 0.9,
+    "max_ellipsis_line_ratio": 0.3,
+    "min_alpha_word_ratio": 0.8,
+}
+
+
+def gopher_features(text: Column) -> dict[str, Column]:
+    """Gopher rule-pack inputs as NATIVE columns (no UDF): word count,
+    mean word length, bullet-started / ellipsis-ended line ratios,
+    symbol-to-word ratio (# and ellipsis), fraction of words with ≥ one
+    alphabetic character. Ratios are rounded to 6 dp so the DuckDB
+    oracle compares exactly."""
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    toks = _tokens(text)
+    n_words = token_count(text)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("- ")
+            | F.ltrim(l).startswith("* ")
+            | F.ltrim(l).startswith("•"),
+        )
+    ).cast("double")
+    ellipsis_line = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    ).cast("double")
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_dots = (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3.0
+    n_uni = F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double")
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": quality_features(text)["mean_word_len"],
+        "bullet_line_ratio": F.round(bullet / n_lines, 6),
+        "ellipsis_line_ratio": F.round(ellipsis_line / n_lines, 6),
+        "symbol_word_ratio": F.round((n_hash + n_dots + n_uni) / nw, 6),
+        "alpha_word_ratio": F.round(alpha_words / nw, 6),
+    }
+
+
+def gopher_flags(text: Column) -> Column:
+    """Struct of per-rule Gopher flags + a composite ``gopher_pass``
+    (true iff no rule fires). Thresholds are GOPHER_THRESHOLDS — the
+    published constants, not tunables hidden in code."""
+    f = gopher_features(text)
+    t = GOPHER_THRESHOLDS
+    too_few = f["n_words"] < t["min_words"]
+    too_many = f["n_words"] > t["max_words"]
+    word_len_out = (f["mean_word_len"] < t["min_mean_word_len"]) | (
+        f["mean_word_len"] > t["max_mean_word_len"]
+    )
+    symbol_heavy = f["symbol_word_ratio"] > t["max_symbol_word_ratio"]
+    bullet_heavy = f["bullet_line_ratio"] > t["max_bullet_line_ratio"]
+    ellipsis_heavy = f["ellipsis_line_ratio"] > t["max_ellipsis_line_ratio"]
+    low_alpha = f["alpha_word_ratio"] < t["min_alpha_word_ratio"]
+    fails = too_few | too_many | word_len_out | symbol_heavy | bullet_heavy | ellipsis_heavy | low_alpha
+    return F.struct(
+        too_few.alias("too_few_words"),
+        too_many.alias("too_many_words"),
+        word_len_out.alias("word_len_out"),
+        symbol_heavy.alias("symbol_heavy"),
+        bullet_heavy.alias("bullet_heavy"),
+        ellipsis_heavy.alias("ellipsis_heavy"),
+        low_alpha.alias("low_alpha"),
+        (~fails).alias("gopher_pass"),
+    )
+
+
 def tokens_of(text: Column) -> Column:
     """Whitespace token array (lower, trim, split on \\s+) — the split
     fingerprint64_of_words expects. Materialize in its OWN projection

@@ -300,7 +300,7 @@ def ngram_jaccard_pairs(
     base = df.select(F.col(id_col).alias("_id"), words_of(text).alias("_w")).select(
         "_id", shingles_of_words(F.col("_w"), k).alias("_gs")
     )
-    grams = base.select("_id", F.explode("_gs").alias("_g")).select(
+    grams = cached_grams = base.select("_id", F.explode("_gs").alias("_g")).select(
         "_id", F.xxhash64("_g").alias("gram")
     )
     if persist_grams:
@@ -313,7 +313,7 @@ def ngram_jaccard_pairs(
         # memory at very large inputs pass persist_grams=False.
         from pyspark import StorageLevel
 
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = cached_grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     hot = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -335,11 +335,23 @@ def ngram_jaccard_pairs(
         .join(counts.select(F.col("_id").alias("id_b"), F.col("n_grams").alias("n_b")), "id_b")
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    out = (
         inter.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if persist_grams:
+        # RELEASE the gram cache before returning (ADVICE r3: persists
+        # with no release hook accumulate executor cache across
+        # invocations — LRU eviction saves correctness, not memory
+        # pressure). The pair list above threshold is tiny relative to
+        # the gram explosion, so eagerly materializing it as a
+        # localCheckpoint (the connected_keepers pattern; ≤ one
+        # persistent handle may remain, owned by the caller) lets the
+        # cache serve all four consumers and then free immediately.
+        out = out.localCheckpoint(eager=True)
+        cached_grams.unpersist()
+    return out
 
 
 def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
@@ -571,6 +583,7 @@ def repeated_ngram_stats(
     text: Column,
     n: int = 3,
     min_df: int = 2,
+    persist_grams: bool = True,
 ) -> DataFrame:
     """Cross-document repeated word-n-gram detection — the span-level
     dedup primitive LLM pipelines run besides document-level near-dup
@@ -607,10 +620,14 @@ def repeated_ngram_stats(
     )
     # two consumers (doc-frequency agg + occurrence re-join) — without a
     # cache the split+explode scan runs twice (same reasoning, and the
-    # same spill-safe level, as ngram_jaccard_pairs' gram cache)
-    from pyspark import StorageLevel
+    # same spill-safe level, as ngram_jaccard_pairs' gram cache);
+    # released before return (see below), persist_grams=False opts into
+    # recompute instead of cache memory at very large inputs
+    cached_occ = None
+    if persist_grams:
+        from pyspark import StorageLevel
 
-    occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+        occ = cached_occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
     doc_freq = (
         occ.distinct()
         .groupBy("g")
@@ -626,12 +643,95 @@ def repeated_ngram_stats(
             F.count_distinct("g").cast("long").alias("n_rep_grams"),
         )
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("doc_id"))
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_rep_occurrences", F.lit(0)).alias("n_rep_occurrences"),
             F.coalesce("n_rep_grams", F.lit(0)).alias("n_rep_grams"),
+        )
+    )
+    if cached_occ is not None:
+        # release the gram cache (ADVICE r3): the per-doc counts (3
+        # longs/doc) are orders of magnitude smaller than the gram
+        # explosion — eagerly localCheckpoint them (connected_keepers
+        # pattern) and free the cache before returning
+        out = out.localCheckpoint(eager=True)
+        cached_occ.unpersist()
+    return out
+
+
+def drop_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    min_df: int = 2,
+    min_words: int = 1,
+    out_col: str = "cleaned_text",
+) -> DataFrame:
+    """Span-REMOVAL policy on top of the repeated-span statistics — the
+    C4-style action an LLM-data pipeline actually takes (C4 discarded
+    repeated three-sentence spans; RefinedWeb/MassiveText drop
+    duplicated lines — public recipes, no reference-repo counterpart).
+
+    Contract (exactly SQL-recomputable, the oracle pins it char-exact):
+    spans are NEWLINE-separated lines; a line's normalized form is
+    ``lower(trim(collapse_whitespace(line)))``; a line is DROPPED iff
+    its normalized form is non-empty, spans ≥ ``min_words`` whitespace
+    words, and occurs in ≥ ``min_df`` DISTINCT documents. Output: one
+    row per input doc with the kept lines re-joined by ``\\n`` in
+    original order plus kept/dropped counts.
+
+    Scale shape: lines posexplode ONCE; the doc-frequency agg groups by
+    ``xxhash64(norm)`` (8-byte keys shuffle, never the line strings);
+    the frequent-line set (df ≥ min_df) is the ONLY relation joined
+    back — it is orders of magnitude smaller than the corpus
+    (boilerplate by definition concentrates), so AQE turns the flag
+    join into a broadcast at runtime; reassembly is one hash-agg with a
+    sort_array over (pos, line) structs — no window, no second shuffle
+    of the text. Null hash keys (blank lines) never match the join and
+    are always kept."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(text, "\n")).alias("pos", "line"),
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("line"), r"\s+", " ")))
+    lines = lines.withColumn(
+        "_h", F.when(norm != "", F.xxhash64(norm))
+    ).withColumn(
+        "_eligible",
+        F.col("_h").isNotNull() & (F.size(F.split(norm, " ")) >= min_words),
+    )
+    freq = (
+        lines.filter("_eligible")
+        .select("doc_id", "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_h", F.lit(True).alias("_frequent"))
+    )
+    flagged = lines.join(freq, "_h", "left").withColumn(
+        "_drop", F.col("_eligible") & F.coalesce("_frequent", F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("_drop"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]
+                ),
+                "\n",
+            ).alias(out_col),
+            F.sum(F.when(~F.col("_drop"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept_lines"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped_lines"),
         )
     )

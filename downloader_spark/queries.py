@@ -115,6 +115,131 @@ def q_quality_score(spark, sf_dir):
 
 
 @_q(
+    "gopher_quality",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, repeat('#', 40) || ' ' || text
+        FROM documents WHERE doc_id % 20 = 0
+      UNION ALL SELECT doc_id + 2000000,
+        '- ' || replace(substr(text, 1, 60), ' ', chr(10) || '- ')
+        FROM documents WHERE doc_id % 30 = 0
+      UNION ALL SELECT doc_id + 3000000,
+        substr(text, 1, 40) || '...' || chr(10) || substr(text, 41, 40) || '...'
+        FROM documents WHERE doc_id % 40 = 0
+      UNION ALL SELECT doc_id + 4000000, regexp_replace(text, '[a-z]', '7', 'g')
+        FROM documents WHERE doc_id % 25 = 0
+    ), base AS (
+      SELECT doc_id, text,
+        split(text, chr(10)) AS lines,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_words
+      FROM seeded
+    ), feat AS (
+      SELECT doc_id, n_words,
+        ROUND(list_sum(list_transform(w, x -> len(x))) * 1.0
+              / greatest(len(w), 1), 6) AS mean_word_len,
+        ROUND(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+              OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '•')))
+              * 1.0 / greatest(len(lines), 1), 6) AS bullet_line_ratio,
+        ROUND(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+              OR ends_with(rtrim(l), '…')))
+              * 1.0 / greatest(len(lines), 1), 6) AS ellipsis_line_ratio,
+        ROUND(( (length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3.0
+              + (length(text) - length(replace(text, '…', ''))) )
+              / greatest(n_words, 1), 6) AS symbol_word_ratio,
+        ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+              / greatest(n_words, 1), 6) AS alpha_word_ratio
+      FROM base
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           bullet_line_ratio, ellipsis_line_ratio, symbol_word_ratio,
+           alpha_word_ratio,
+           (n_words < 50) AS too_few_words,
+           (n_words > 100000) AS too_many_words,
+           (mean_word_len < 3.0 OR mean_word_len > 10.0) AS word_len_out,
+           (symbol_word_ratio > 0.1) AS symbol_heavy,
+           (bullet_line_ratio > 0.9) AS bullet_heavy,
+           (ellipsis_line_ratio > 0.3) AS ellipsis_heavy,
+           (alpha_word_ratio < 0.8) AS low_alpha,
+           NOT (n_words < 50 OR n_words > 100000 OR mean_word_len < 3.0
+                OR mean_word_len > 10.0 OR symbol_word_ratio > 0.1
+                OR bullet_line_ratio > 0.9 OR ellipsis_line_ratio > 0.3
+                OR alpha_word_ratio < 0.8) AS gopher_pass
+    FROM feat ORDER BY doc_id
+    """,
+)
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText quality rule-pack (VERDICT r3 #5): published
+    thresholds over native columns — word count, mean word length,
+    bullet/ellipsis line ratios, symbol-to-word ratio, alpha-word
+    fraction, plus per-rule flags and the composite gopher_pass. The
+    corpus is clean word soup, so four pathological doc families are
+    SEEDED from the real text (symbol flood, bullet explosion,
+    ellipsis-terminated lines, digits-for-letters) — every rule fires
+    on its family and the oracle recomputes all features + flags."""
+    from .functions.text import gopher_features, gopher_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    seeded = (
+        docs.unionByName(
+            docs.filter(d % 20 == 0).select(
+                (d + 1000000).alias("doc_id"),
+                F.concat(F.lit("#" * 40 + " "), "text").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 30 == 0).select(
+                (d + 2000000).alias("doc_id"),
+                F.concat(
+                    F.lit("- "),
+                    F.replace(F.substring("text", 1, 60), F.lit(" "), F.lit("\n- ")),
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 40 == 0).select(
+                (d + 3000000).alias("doc_id"),
+                F.concat(
+                    F.substring("text", 1, 40), F.lit("...\n"),
+                    F.substring("text", 41, 40), F.lit("..."),
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 25 == 0).select(
+                (d + 4000000).alias("doc_id"),
+                F.regexp_replace("text", "[a-z]", "7").alias("text"),
+            )
+        )
+    )
+    feats = gopher_features(F.col("text"))
+    return (
+        seeded.select(
+            "doc_id",
+            *[
+                feats[k].alias(k)
+                for k in (
+                    "n_words", "mean_word_len", "bullet_line_ratio",
+                    "ellipsis_line_ratio", "symbol_word_ratio",
+                    "alpha_word_ratio",
+                )
+            ],
+            gopher_flags(F.col("text")).alias("_fl"),
+        )
+        .select(
+            "doc_id", "n_words", "mean_word_len", "bullet_line_ratio",
+            "ellipsis_line_ratio", "symbol_word_ratio", "alpha_word_ratio",
+            "_fl.*",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "dedup_exact",
     """
     SELECT digest, n_dups, keeper FROM (
@@ -848,6 +973,82 @@ def q_repeated_ngrams(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return repeated_ngram_stats(docs, "doc_id", F.col("text"), n=3, min_df=2)
+
+
+@_q(
+    "drop_repeated_spans",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+        substr(text, 1, 80) || chr(10) ||
+        CASE doc_id % 3 WHEN 0 THEN 'Subscribe to our newsletter for daily updates'
+                        WHEN 1 THEN 'All rights reserved - copyright notice'
+                        ELSE 'Click here to accept cookies and continue' END
+        || chr(10) || substr(text, 81, 100) ||
+        CASE WHEN doc_id % 50 = 0
+             THEN chr(10) || 'Limited time offer act now' ELSE '' END AS text
+      FROM documents
+    ), lines AS (
+      SELECT doc_id,
+             generate_subscripts(split(text, chr(10)), 1) AS pos,
+             unnest(split(text, chr(10))) AS line
+      FROM seeded
+    ), normed AS (
+      SELECT doc_id, pos, line,
+             lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))) AS norm
+      FROM lines
+    ), freq AS (
+      SELECT norm FROM (
+        SELECT norm, COUNT(DISTINCT doc_id) AS df FROM normed
+        WHERE norm <> '' AND len(string_split(norm, ' ')) >= 3
+        GROUP BY norm
+      ) WHERE df >= 2
+    ), flagged AS (
+      SELECT n.doc_id, n.pos, n.line,
+             (n.norm <> '' AND len(string_split(n.norm, ' ')) >= 3
+              AND f.norm IS NOT NULL) AS dropme
+      FROM normed n LEFT JOIN freq f ON n.norm = f.norm
+    )
+    SELECT doc_id,
+      COALESCE(string_agg(CASE WHEN NOT dropme THEN line END,
+                          chr(10) ORDER BY pos), '') AS cleaned_text,
+      CAST(SUM(CASE WHEN NOT dropme THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+      CAST(SUM(CASE WHEN dropme THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_lines
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_drop_repeated_spans(spark, sf_dir):
+    """Span-REMOVAL policy (C4/RefinedWeb line-dedup action on top of
+    the repeated-span stats — VERDICT r3 #3). Documents are single-line
+    word soup, so the query SEEDS a 3-4-line variant per doc: two
+    substr slices of the real text around an injected boilerplate line
+    (3 variants by doc_id%3, each in ~167 docs) plus a rarer planted
+    line in every 50th doc. The operator must drop exactly the planted
+    boilerplate (doc-frequency ≥ 2 over normalized lines, ≥ 3 words)
+    and keep the substr lines; the oracle recomputes the full cleaned
+    text CHAR-EXACT per doc. Spark groups line frequencies by
+    xxhash64(norm); the oracle uses norm strings — same hash-collision
+    argument as the gram family."""
+    from .operators.dedup import drop_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bp = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("Subscribe to our newsletter for daily updates"))
+        .when(F.col("doc_id") % 3 == 1,
+              F.lit("All rights reserved - copyright notice"))
+        .otherwise(F.lit("Click here to accept cookies and continue"))
+    )
+    text2 = F.concat(
+        F.substring("text", 1, 80), F.lit("\n"), bp, F.lit("\n"),
+        F.substring("text", 81, 100),
+        F.when(F.col("doc_id") % 50 == 0,
+               F.lit("\nLimited time offer act now")).otherwise(F.lit("")),
+    )
+    seeded = docs.select("doc_id", text2.alias("text"))
+    return drop_repeated_spans(
+        seeded, "doc_id", F.col("text"), min_df=2, min_words=3
+    ).orderBy("doc_id")
 
 
 @_q("minhash_near_dups", _JACCARD_ORACLE)

@@ -179,6 +179,65 @@ def test_connected_keepers_deep_chain_pointer_jump_fallback(spark):
     assert got == {**{i: 0 for i in range(41)}, 100: 100, 101: 100}
 
 
+def test_drop_repeated_spans_planted(spark):
+    """Planted boilerplate lines (shared across ≥ min_df docs) must be
+    removed; unique content lines kept verbatim in order; short and
+    blank lines are never dropped regardless of frequency."""
+    from downloader_spark.operators.dedup import drop_repeated_spans
+
+    bp = "Subscribe  to our NEWSLETTER today"   # normalizes across spacing/case
+    rows = [
+        (1, f"unique alpha content line\n{bp}\nmore alpha text here"),
+        (2, f"different beta content\nsubscribe to our newsletter today\ntail beta"),
+        (3, "solo gamma line\n\nok go\nsolo gamma continues"),   # blank + 2-word line
+        (4, "ok go\nlonger delta content line"),                  # 'ok go' df=2 but <3 words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in drop_repeated_spans(
+            df, "doc_id", F.col("text"), min_df=2, min_words=3
+        ).collect()
+    }
+    assert out[1]["cleaned_text"] == "unique alpha content line\nmore alpha text here"
+    assert out[1]["n_dropped_lines"] == 1 and out[1]["n_kept_lines"] == 2
+    assert out[2]["cleaned_text"] == "different beta content\ntail beta"
+    # blank lines and sub-min_words lines survive even when repeated
+    assert out[3]["cleaned_text"] == rows[2][1]
+    assert out[3]["n_dropped_lines"] == 0
+    assert out[4]["cleaned_text"] == rows[3][1]
+
+
+def test_gram_operators_release_cache(spark, docs):
+    """ngram_jaccard_pairs and repeated_ngram_stats must not leave
+    their exploded-gram persists behind (ADVICE r3: session-lifetime
+    cache accumulation); at most the localCheckpoint of each RESULT
+    may remain — the connected_keepers contract."""
+    from downloader_spark.operators.dedup import repeated_ngram_stats
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    pairs = ngram_jaccard_pairs(docs, "doc_id", F.col("text"), k=3, threshold=0.3)
+    assert pairs.count() >= 1
+    assert n_persistent() <= before + 1  # only the result checkpoint
+
+    before2 = n_persistent()
+    stats = repeated_ngram_stats(docs, "doc_id", F.col("text"), n=3, min_df=2)
+    assert stats.count() == docs.count()
+    assert n_persistent() <= before2 + 1
+
+    # opt-out path: no cache at all, plan fully lazy
+    before3 = n_persistent()
+    lazy = repeated_ngram_stats(
+        docs, "doc_id", F.col("text"), n=3, min_df=2, persist_grams=False
+    )
+    assert n_persistent() == before3
+    assert lazy.count() == docs.count()
+    assert n_persistent() == before3
+
+
 def test_connected_keepers_releases_cache(spark):
     """The returned DataFrame must not pin the propagation loop's
     persisted rounds (ADVICE r2: repeated invocations accumulated

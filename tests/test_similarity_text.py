@@ -286,3 +286,42 @@ def test_lsh_udf_matches_native_signatures(vecs):
     assert {(r["vec_id"], r["tbl"], r["sig"]) for r in native} == {
         (r["vec_id"], r["tbl"], r["sig"]) for r in got
     }
+
+
+def test_gopher_flags_pathological_docs(spark):
+    """Each published Gopher rule fires on a crafted doc that violates
+    exactly that rule (plus too_few_words where unavoidable), and a
+    normal 60-word prose doc passes everything."""
+    from pyspark.sql import functions as F
+
+    from downloader_spark.functions.text import gopher_flags
+
+    prose = " ".join(
+        "the quick brown fox jumps over the lazy dog near the river bank".split()
+        * 5
+    )  # 60 words, mean len in range, no symbols
+    rows = [
+        (1, prose),
+        (2, "short doc only"),                                   # too_few_words
+        (3, " ".join(["a"] * 60)),                               # mean_word_len < 3
+        (4, " ".join(["supercalifragilistic"] * 60)),            # mean_word_len > 10
+        (5, prose + " " + "#" * 30),                             # symbol_heavy
+        (6, "\n".join(f"- item {i} here now" for i in range(10))),  # bullet_heavy
+        (7, "\n".join(f"{prose[:20]} part {i}..." for i in range(4))),  # ellipsis_heavy
+        (8, " ".join(["1234"] * 60)),                            # low_alpha
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fl"].asDict()
+        for r in df.select("doc_id", gopher_flags(F.col("text")).alias("fl")).collect()
+    }
+    assert got[1]["gopher_pass"] and not any(
+        v for k, v in got[1].items() if k != "gopher_pass"
+    )
+    assert got[2]["too_few_words"] and not got[2]["gopher_pass"]
+    assert got[3]["word_len_out"]
+    assert got[4]["word_len_out"]
+    assert got[5]["symbol_heavy"]
+    assert got[6]["bullet_heavy"]
+    assert got[7]["ellipsis_heavy"]
+    assert got[8]["low_alpha"]
