@@ -49,6 +49,8 @@ HEADLINE = [
     "extract_lang_profile",
     "drop_repeated_spans",
     "gopher_quality",
+    "token_windows",
+    "pii_redact",
 ]
 
 

@@ -224,3 +224,50 @@ def fingerprint64(text: Column, k: int = 8) -> Column:
     recompute); hot paths must split once via tokens_of and call
     fingerprint64_of_words — same output, ~3.7× faster at sf0.1."""
     return fingerprint64_of_words(_tokens(text), k)
+
+
+# PII patterns kept to the Java-regex ∩ RE2 common dialect (no \b, no
+# lookaround) so the Spark columns and the DuckDB oracle match exactly.
+# Redaction order matters and is part of the contract: emails first
+# (they contain dots an IPv4-ish pattern could chew), then phones,
+# then IPv4.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts over the ORIGINAL text (each pattern
+    counted independently, before any redaction)."""
+    return {
+        f"n_{kind}": F.regexp_count(text, F.lit(pat)).cast("long")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its typed placeholder, in
+    PII_PATTERNS order — the scrubbing pass a training-data pipeline
+    runs before publishing webtext. Pure native regexp_replace chain
+    (leftmost non-overlapping, global — identical semantics in Java
+    regex and RE2)."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def fingerprint_md5_of_words(toks: Column, k: int = 8) -> Column:
+    """Same rolling-shingle construction as fingerprint64_of_words but
+    chained through md5 (hex strings) instead of xxhash64 — EXACTLY
+    recomputable in DuckDB SQL, which xxhash64 is not (the one
+    no_oracle query r1-r3 carried). 128-bit output; ~2× the hash cost
+    of the xxhash64 form, so pipelines that don't need an external
+    SQL-auditable fingerprint should prefer fingerprint64_of_words.
+    Same split-once contract: pass a materialized token array."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    return F.md5(F.concat_ws(",", sh))

@@ -1193,24 +1193,138 @@ def q_text_stats(spark, sf_dir):
     )
 
 
-@_q("doc_fingerprints")
+@_q(
+    "doc_fingerprints",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(array_to_string(
+             list_transform(
+               generate_series(1, greatest(len(w) - 8, 0) + 1),
+               i -> md5(array_to_string(w[i:i+7], ' '))
+             ), ',')) AS fingerprint,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM toks ORDER BY doc_id
+    """,
+)
 def q_doc_fingerprints(spark, sf_dir):
-    """Rolling-hash document fingerprints (raw xxhash64 values — no
-    DuckDB equivalent; pinned by tests/test_similarity_text.py). The
-    oracled invariant over the same function is fingerprint_groups."""
-    from .functions.text import fingerprint64_of_words, quality_score, tokens_of
+    """Rolling-shingle document fingerprints, md5-chained so DuckDB
+    recomputes the VALUES exactly (r1-r3 emitted raw xxhash64 — the
+    suite's one no_oracle query; xxhash64 has no DuckDB equivalent.
+    The 64-bit form fingerprint64_of_words stays the pipeline-internal
+    fingerprint, pinned by fingerprint_groups' oracled grouping
+    invariant + tests/test_similarity_text.py). Split-once projection:
+    tokens referenced inside the transform lambda re-inline per
+    shingle otherwise (3.7× measured at sf0.1 — VERDICT r3 #1)."""
+    from .functions.text import fingerprint_md5_of_words, token_count, tokens_of
 
     docs = _t(spark, sf_dir, "documents")
-    # split ONCE in its own projection: tokens referenced inside the
-    # fingerprint transform() lambda re-inline per shingle otherwise
-    # (3.7× measured at sf0.1, hash-identical — VERDICT r3 #1)
     return docs.select(
-        "doc_id", "text", tokens_of(F.col("text")).alias("_toks")
+        "doc_id",
+        tokens_of(F.col("text")).alias("_toks"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
     ).select(
         "doc_id",
-        fingerprint64_of_words(F.col("_toks")).alias("fingerprint"),
-        quality_score(F.col("text")).alias("quality"),
+        fingerprint_md5_of_words(F.col("_toks")).alias("fingerprint"),
+        "n_tokens",
+    ).orderBy("doc_id")
+
+
+@_q(
+    "token_windows",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, greatest(len(w) - 1, 0), 8)) AS start
+      FROM toks
     )
+    SELECT doc_id,
+           CAST(start // 8 AS BIGINT) AS window_id,
+           CAST(len(w[start+1 : start+16]) AS BIGINT) AS n_tokens,
+           array_to_string(w[start+1 : start+16], ' ') AS window_text
+    FROM starts ORDER BY doc_id, window_id
+    """,
+)
+def q_token_windows(spark, sf_dir):
+    """Training-window chunking: 16-token windows at stride 8 (50%
+    overlap) over every document — the doc→sample step before packing;
+    tail windows short, every token covered. Shuffle-free row-parallel
+    explode; the oracle recomputes window text char-exact."""
+    from .operators.chunking import chunk_token_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_token_windows(
+        docs, "doc_id", F.col("text"), window=16, stride=8
+    ).orderBy("doc_id", "window_id")
+
+
+@_q(
+    "pii_redact",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com now' ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0 THEN ' call +1415555'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(text,
+        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+[0-9]{7,15}', '<PHONE>', 'g'),
+        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+    FROM seeded ORDER BY doc_id
+    """,
+)
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails → <EMAIL>, +intl phones → <PHONE>, IPv4 →
+    <IP>) with per-kind counts — patterns restricted to the Java-regex
+    ∩ RE2 common dialect so the oracle recomputes the redacted text
+    char-exact. The corpus is clean word soup, so emails / phones /
+    IPs are SEEDED deterministically from doc_id (moduli 5/7/11 with
+    doc_id-derived locals) before scrubbing."""
+    from .functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    seeded_text = F.concat(
+        F.col("text"),
+        F.when(d % 5 == 0, F.concat(
+            F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")
+        )).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(
+            F.lit(" call +1415555"), F.lpad((d % 10000).cast("string"), 4, "0")
+        )).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(
+            F.lit(" from 10.0."), (d % 256).cast("string"), F.lit("."),
+            ((d * 7) % 256).cast("string"),
+        )).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", seeded_text.alias("text"))
+    counts = pii_counts(F.col("text"))
+    return base.select(
+        "doc_id",
+        *[c.alias(k) for k, c in counts.items()],
+        redact_pii(F.col("text")).alias("redacted"),
+    ).orderBy("doc_id")
 
 
 @_q(

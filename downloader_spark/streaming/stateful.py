@@ -129,3 +129,76 @@ def streaming_seen_filter(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_seen_filter_cuckoo(
+    url_stream: DataFrame,
+    url_col: str = "url",
+    num_buckets: int = 16,
+    table_rows: int = 1 << 14,
+    slots_per_row: int = 4,
+    max_kicks: int = 200,
+) -> DataFrame:
+    """Cuckoo-table variant of ``streaming_seen_filter`` (VERDICT r3
+    #6: a user who picked ``seen_filter='cuckoo'`` in the batch engine
+    for deletability shouldn't lose it in the streaming path). Same
+    per-bucket state-store layout, same (url, first_seen) contract;
+    the state is a (table, stash) cuckoo filter using the IDENTICAL
+    fingerprint arithmetic as plans/cuckoo.py — a checkpointed
+    streaming state row is bit-compatible with a batch-built bucket,
+    and the pure-Python oracle ``cuckoo_contains_py`` probes it
+    directly. Within a batch, later chunks probe the table updated by
+    earlier chunks, so cross-chunk repeats are caught exactly like the
+    Bloom path. Repeats are definite (no false negatives); new urls
+    carry the cuckoo false-positive rate (~8/2^16 per probe at 4
+    slots), the dual of the Bloom bound."""
+    import numpy as np
+
+    from ..plans.cuckoo import _fp_and_rows, _hash_cols as _cuckoo_hash_cols, _insert_all
+
+    if table_rows & (table_rows - 1):
+        raise ValueError("table_rows must be a power of two (XOR partner indexing)")
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.exists:
+            table_b, stash_b = state.get
+            table = np.frombuffer(table_b, dtype=np.uint16).reshape(
+                table_rows, slots_per_row
+            ).copy()
+            stash = list(np.frombuffer(stash_b, dtype=np.uint16))
+        else:
+            table = np.zeros((table_rows, slots_per_row), dtype=np.uint16)
+            stash = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            hi = pdf["_hi"].to_numpy(dtype=np.int64).view(np.uint64)
+            hf = pdf["_hf"].to_numpy(dtype=np.int64).view(np.uint64)
+            fp, i1, i2 = _fp_and_rows(hi, hf, table_rows)
+            in_state = (table[i1] == fp[:, None]).any(axis=1) | (
+                table[i2] == fp[:, None]
+            ).any(axis=1)
+            if stash:
+                in_state |= np.isin(fp, np.array(stash, dtype=np.uint16))
+            first_in_batch = ~pdf["url"].duplicated().to_numpy()
+            first = first_in_batch & ~in_state
+            _insert_all(table, stash, fp[first], i1[first], table_rows, max_kicks)
+            yield pd.DataFrame({"url": pdf["url"], "first_seen": first})
+        state.update(
+            (table.tobytes(), np.array(sorted(stash), dtype=np.uint16).tobytes())
+        )
+
+    hic, hfc = _cuckoo_hash_cols(url_col)
+    keyed = (
+        url_stream.select(F.col(url_col).alias("url"))
+        .withColumn("_bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int"))
+        .withColumn("_hi", hic)
+        .withColumn("_hf", hfc)
+    )
+    return keyed.groupBy("_bucket").applyInPandasWithState(
+        dedup,
+        outputStructType=SEEN_FILTER_OUTPUT,
+        stateStructType="table binary, stash binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,5 +1,6 @@
 """Multi-format fan-out (C7) semantics + stateful streaming totals."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from downloader_spark.functions.udfs import extract_udf
@@ -144,12 +145,17 @@ def test_parse_accepts_mapping(spark):
 
 
 class TestStreamingSeenFilter:
-    def test_first_seen_exactly_once_across_restart(self, spark, tmp_path):
-        """Streaming Bloom seen-filter: every distinct url is
-        first_seen exactly once across micro-batches AND across a
-        checkpoint restart; repeats (in-batch and cross-batch) are
-        flagged false. Geometry sized so FP=0 at test scale."""
-        from downloader_spark.streaming.stateful import streaming_seen_filter
+    @pytest.mark.parametrize("mode", ["bloom", "cuckoo"])
+    def test_first_seen_exactly_once_across_restart(self, spark, tmp_path, mode):
+        """Streaming seen-filter (Bloom AND cuckoo state — VERDICT r3
+        #6): every distinct url is first_seen exactly once across
+        micro-batches AND across a checkpoint restart; repeats
+        (in-batch and cross-batch) are flagged false. Geometry sized so
+        FP=0 at test scale."""
+        from downloader_spark.streaming.stateful import (
+            streaming_seen_filter,
+            streaming_seen_filter_cuckoo,
+        )
 
         urls1 = [(f"http://h{i % 7}.example/p/{i}",) for i in range(300)]
         urls1 += urls1[:120]  # in-run repeats
@@ -169,11 +175,16 @@ class TestStreamingSeenFilter:
                     (r["url"], r["first_seen"]) for r in batch_df.collect()
                 )
 
-            q = (
-                streaming_seen_filter(
+            if mode == "bloom":
+                filtered = streaming_seen_filter(
                     stream, num_buckets=8, bits_per_bucket=1 << 16, num_hashes=5
                 )
-                .writeStream.foreachBatch(sink)
+            else:
+                filtered = streaming_seen_filter_cuckoo(
+                    stream, num_buckets=8, table_rows=1 << 10
+                )
+            q = (
+                filtered.writeStream.foreachBatch(sink)
                 .outputMode("append")
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
@@ -191,6 +202,47 @@ class TestStreamingSeenFilter:
         assert len(emitted) == len(urls1) + len(urls2)
         assert sorted(firsts) == sorted(set(firsts)), "a url was first_seen twice"
         assert set(firsts) == all_urls == {u for (u,) in urls1 + urls2}
+
+    def test_cuckoo_streaming_state_matches_batch_filter(self, spark, tmp_path):
+        """The checkpointed streaming cuckoo state uses the SAME
+        fingerprint arithmetic as the batch filter: a batch-built
+        filter over the drained urls probes every streamed url as seen
+        (and the streaming run's first_seen set equals the distinct
+        urls) — the bit-compatibility claim in the docstring."""
+        from downloader_spark.plans.cuckoo import (
+            build_cuckoo,
+            cuckoo_maybe_seen_cogroup,
+        )
+        from downloader_spark.streaming.stateful import streaming_seen_filter_cuckoo
+
+        urls = [(f"http://h{i % 5}.example/q/{i}",) for i in range(200)]
+        src = str(tmp_path / "src2")
+        spark.createDataFrame(urls, "url string").write.parquet(src)
+        emitted: list = []
+
+        def sink(batch_df, _bid):
+            emitted.extend((r["url"], r["first_seen"]) for r in batch_df.collect())
+
+        geo = dict(num_buckets=4, table_rows=1 << 10)
+        stream = spark.readStream.schema("url string").parquet(src)
+        q = (
+            streaming_seen_filter_cuckoo(stream, **geo)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        assert {u for u, f in emitted if f} == {u for (u,) in urls}
+        batch_filt = build_cuckoo(
+            spark.createDataFrame(urls, "url string"), **geo
+        )
+        probed = cuckoo_maybe_seen_cogroup(
+            spark.createDataFrame(urls, "url string"), batch_filt, **geo
+        )
+        assert probed.filter("NOT maybe_seen").count() == 0
 
 
 def test_parse_accepts_randomized_python_parity(spark):

@@ -325,3 +325,63 @@ def test_gopher_flags_pathological_docs(spark):
     assert got[6]["bullet_heavy"]
     assert got[7]["ellipsis_heavy"]
     assert got[8]["low_alpha"]
+
+
+def test_chunk_token_windows_edges(spark):
+    """Window coverage, 50% overlap, short tails, empty doc → one
+    empty window; window text is the normalized token join."""
+    from pyspark.sql import functions as F
+
+    from downloader_spark.operators.chunking import chunk_token_windows
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+        (2, "only  three   Tokens"),                # collapses + lowers
+        (3, ""),                                     # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in chunk_token_windows(df, "doc_id", F.col("text"), window=4, stride=2).collect():
+        got.setdefault(r["doc_id"], {})[r["window_id"]] = (r["n_tokens"], r["window_text"])
+    # doc 1: starts 0,2,4,6,8 → ids 0..4; tails shorten
+    assert sorted(got[1]) == [0, 1, 2, 3, 4]
+    assert got[1][0] == (4, "w0 w1 w2 w3")
+    assert got[1][3] == (4, "w6 w7 w8 w9")
+    assert got[1][4] == (2, "w8 w9")
+    assert got[2] == {0: (3, "only three tokens"), 1: (1, "tokens")}
+    assert got[3] == {0: (1, "")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_token_windows(df, "doc_id", F.col("text"), window=0)
+
+
+def test_redact_pii_crafted(spark):
+    """Each PII kind redacts to its placeholder; counts taken pre-
+    redaction; clean text passes through untouched."""
+    from pyspark.sql import functions as F
+
+    from downloader_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail a.b+c@sub.example.org or x@y.io today"),
+        (2, "call +14155551234 thanks"),
+        (3, "server at 10.0.200.31 responded"),
+        (4, "plain text with no pii at all"),
+        (5, "mix bob@corp.net +4912345678 and 192.168.1.1 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii_counts(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(k) for k, c in counts.items()],
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert got[1]["n_email"] == 2 and got[1]["red"] == "mail <EMAIL> or <EMAIL> today"
+    assert got[2]["n_phone"] == 1 and got[2]["red"] == "call <PHONE> thanks"
+    assert got[3]["n_ipv4"] == 1 and got[3]["red"] == "server at <IP> responded"
+    assert got[4]["red"] == rows[3][1]
+    assert (got[5]["n_email"], got[5]["n_phone"], got[5]["n_ipv4"]) == (1, 1, 1)
+    assert got[5]["red"] == "mix <EMAIL> <PHONE> and <IP> end"
