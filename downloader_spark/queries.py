@@ -1051,6 +1051,196 @@ def q_drop_repeated_spans(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_q(
+    "webtext_pipeline",
+    r"""
+    WITH multiline AS (
+      SELECT doc_id,
+        substr(text, 1, 80) || chr(10) ||
+        CASE doc_id % 3 WHEN 0 THEN 'Subscribe to our newsletter for daily updates'
+                        WHEN 1 THEN 'All rights reserved - copyright notice'
+                        ELSE 'Click here to accept cookies and continue' END
+        || chr(10) || substr(text, 81, 100) AS text
+      FROM documents
+    ), corpus AS (
+      SELECT doc_id, text FROM multiline
+      UNION ALL SELECT doc_id + 5000000, text FROM multiline WHERE doc_id % 25 = 0
+      UNION ALL SELECT doc_id + 1000000, repeat('#', 40) || ' ' || text
+        FROM documents WHERE doc_id % 20 = 0
+      UNION ALL SELECT doc_id + 2000000,
+        '- ' || replace(substr(text, 1, 60), ' ', chr(10) || '- ')
+        FROM documents WHERE doc_id % 30 = 0
+      UNION ALL SELECT doc_id + 4000000, regexp_replace(text, '[a-z]', '7', 'g')
+        FROM documents WHERE doc_id % 25 = 0
+    ), feat AS (
+      SELECT doc_id, text,
+        split(text, chr(10)) AS lines,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_words
+      FROM corpus
+    ), gated AS (
+      SELECT doc_id, text FROM feat
+      WHERE NOT (
+        ROUND(list_sum(list_transform(w, x -> len(x))) * 1.0
+              / greatest(len(w), 1), 6) < 3.0
+        OR ROUND(list_sum(list_transform(w, x -> len(x))) * 1.0
+              / greatest(len(w), 1), 6) > 10.0
+        OR ROUND(( (length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3.0
+              + (length(text) - length(replace(text, '…', ''))) )
+              / greatest(n_words, 1), 6) > 0.1
+        OR ROUND(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+              OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '•')))
+              * 1.0 / greatest(len(lines), 1), 6) > 0.9
+        OR ROUND(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+              OR ends_with(rtrim(l), '…')))
+              * 1.0 / greatest(len(lines), 1), 6) > 0.3
+        OR ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+              / greatest(n_words, 1), 6) < 0.8
+      )
+    ), lines2 AS (
+      SELECT doc_id,
+             generate_subscripts(split(text, chr(10)), 1) AS pos,
+             unnest(split(text, chr(10))) AS line
+      FROM gated
+    ), normed AS (
+      SELECT doc_id, pos, line,
+             lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS norm
+      FROM lines2
+    ), freq AS (
+      SELECT norm FROM (
+        SELECT norm, COUNT(DISTINCT doc_id) AS df FROM normed
+        WHERE norm <> '' AND len(string_split(norm, ' ')) >= 3
+        GROUP BY norm
+      ) WHERE df >= 3
+    ), flagged AS (
+      SELECT n.doc_id, n.pos, n.line,
+             (n.norm <> '' AND len(string_split(n.norm, ' ')) >= 3
+              AND f.norm IS NOT NULL) AS dropme
+      FROM normed n LEFT JOIN freq f ON n.norm = f.norm
+    ), cleaned AS (
+      SELECT doc_id,
+        COALESCE(string_agg(CASE WHEN NOT dropme THEN line END,
+                            chr(10) ORDER BY pos), '') AS cleaned_text,
+        CAST(SUM(CASE WHEN dropme THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_lines
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT * FROM (
+      SELECT MIN(doc_id) AS doc_id,
+             cleaned_text,
+             CAST(COUNT(*) AS BIGINT) AS n_exact_dups,
+             MIN(n_dropped_lines) AS n_dropped_lines,
+             CAST(CASE WHEN trim(cleaned_text) = '' THEN 0
+                  ELSE len(string_split(trim(regexp_replace(cleaned_text,
+                       '\s+', ' ', 'g')), ' ')) END AS BIGINT) AS n_tokens
+      FROM cleaned GROUP BY cleaned_text
+    ) WHERE n_tokens > 0 ORDER BY doc_id
+    """,
+)
+def q_webtext_pipeline(spark, sf_dir):
+    """END-TO-END training-data pipeline composition — the round-4
+    operators chained the way a real corpus run chains them:
+    (1) Gopher gate (content rules: word-length band, symbol/bullet/
+    ellipsis ratios, alpha fraction — the length gate is deliberately
+    not applied: the synthetic docs are all short), which removes the
+    seeded pathological families; (2) drop_repeated_spans over the
+    survivors (boilerplate line removal, doc-freq computed POST-gate);
+    (3) exact dedup on the CLEANED text (boilerplate removal first
+    turns near-identical docs identical — the order matters and the
+    seeded +5M verbatim copies prove it: they merge into their
+    originals, n_exact_dups=2); final token count per survivor. One
+    oracle recomputes the whole chain char-exact."""
+    from .functions.text import gopher_flags
+    from .operators.dedup import drop_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    bp = (
+        F.when(d % 3 == 0, F.lit("Subscribe to our newsletter for daily updates"))
+        .when(d % 3 == 1, F.lit("All rights reserved - copyright notice"))
+        .otherwise(F.lit("Click here to accept cookies and continue"))
+    )
+    multiline = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80), F.lit("\n"), bp, F.lit("\n"),
+            F.substring("text", 81, 100),
+        ).alias("text"),
+    )
+    corpus = (
+        multiline
+        .unionByName(
+            multiline.filter(d % 25 == 0)
+            .select((d + 5000000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            docs.filter(d % 20 == 0).select(
+                (d + 1000000).alias("doc_id"),
+                F.concat(F.lit("#" * 40 + " "), "text").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 30 == 0).select(
+                (d + 2000000).alias("doc_id"),
+                F.concat(
+                    F.lit("- "),
+                    F.replace(F.substring("text", 1, 60), F.lit(" "), F.lit("\n- ")),
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 25 == 0).select(
+                (d + 4000000).alias("doc_id"),
+                F.regexp_replace("text", "[a-z]", "7").alias("text"),
+            )
+        )
+    )
+    fl = gopher_flags(F.col("text"))
+    gated = (
+        corpus.withColumn("_fl", fl)
+        .filter(
+            ~F.col("_fl.word_len_out") & ~F.col("_fl.symbol_heavy")
+            & ~F.col("_fl.bullet_heavy") & ~F.col("_fl.ellipsis_heavy")
+            & ~F.col("_fl.low_alpha")
+        )
+        .select("doc_id", "text")
+    )
+    cleaned = drop_repeated_spans(
+        gated, "doc_id", F.col("text"), min_df=3, min_words=3
+    )
+    return (
+        cleaned.groupBy("cleaned_text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_exact_dups"),
+            F.min("n_dropped_lines").alias("n_dropped_lines"),
+        )
+        .select(
+            "doc_id", "cleaned_text", "n_exact_dups", "n_dropped_lines",
+            # collapse-first count (NOT token_count): cleaned text can
+            # END with '\n' (last kept line empty) and Spark's trim()
+            # strips only spaces, so split('\s+') would keep a trailing
+            # empty token — collapse whitespace first, like the oracle
+            F.when(
+                F.trim(F.regexp_replace("cleaned_text", r"\s+", " ")) == "",
+                F.lit(0),
+            )
+            .otherwise(
+                F.size(
+                    F.split(
+                        F.trim(F.regexp_replace("cleaned_text", r"\s+", " ")), " "
+                    )
+                )
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)  # drop fully-scrubbed docs
+        .orderBy("doc_id")
+    )
+
+
 @_q("minhash_near_dups", _JACCARD_ORACLE)
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash-LSH candidates verified by EXACT shingle Jaccard — with

@@ -191,3 +191,20 @@ def test_stored_ivf_index_probe_prunes_partitions(spark, tmp_path):
     )
     plan = explain_str(ivf_probe(index, qry, k=3, nprobe=2))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_round4_text_operators_stay_native(spark):
+    """The r4 operator family (span removal, chunking, PII, gopher,
+    pipeline) must contain ZERO Python eval nodes — all native
+    column work — and drop_repeated_spans' frequent-line flag join
+    must not be a nested loop."""
+    from downloader_spark.queries import Q
+
+    for name in (
+        "drop_repeated_spans", "token_windows", "pii_redact",
+        "gopher_quality", "webtext_pipeline", "doc_fingerprints",
+    ):
+        plan = explain_str(Q[name](spark, SF_ORACLE))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
