@@ -208,6 +208,33 @@ def test_drop_repeated_spans_planted(spark):
     assert out[4]["cleaned_text"] == rows[3][1]
 
 
+def test_drop_repeated_spans_reassembly_identity(spark):
+    """With min_df above any possible doc-frequency, cleaned_text must
+    be the IDENTITY for arbitrary text (the posexplode→sort→join
+    reassembly is lossless): seeded-random lines with unicode, CRLF
+    remnants, tabs, blank runs, exotic whitespace."""
+    import random
+
+    from downloader_spark.operators.dedup import drop_repeated_spans
+
+    rng = random.Random(13)
+    pieces = ["word", "héllo wörld", "\ttabbed", "", " ", "  double  space",
+              "emoji ✨ line", "trailing\r", "ideograph 漢字", "a", "... dots"]
+    rows = []
+    for i in range(200):
+        n_lines = rng.randint(0, 8)
+        rows.append((i, "\n".join(rng.choice(pieces) for _ in range(n_lines))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_dropped_lines"])
+        for r in drop_repeated_spans(
+            df, "doc_id", F.col("text"), min_df=10_000, min_words=1
+        ).collect()
+    }
+    for i, text in rows:
+        assert out[i] == (text, 0), (i, repr(text), repr(out[i]))
+
+
 def test_gram_operators_release_cache(spark, docs):
     """ngram_jaccard_pairs and repeated_ngram_stats must not leave
     their exploded-gram persists behind (ADVICE r3: session-lifetime
