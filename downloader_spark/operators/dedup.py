@@ -662,6 +662,59 @@ def repeated_ngram_stats(
     return out
 
 
+def contamination_stats(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    eval_df: DataFrame,
+    eval_text: Column,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Llama-report recipe, public:
+    drop training docs sharing long word n-grams with an evaluation
+    set). Per training doc: how many DISTINCT word ``n``-grams it
+    shares with ANY eval document, plus a ``contaminated`` flag
+    (≥ 1 shared gram). Policy (drop vs flag vs span-remove) composes on
+    top, exactly like repeated_ngram_stats.
+
+    Scale shape: both sides' grams hash to longs BEFORE the join (the
+    eval side is tiny by construction — benchmarks are thousands of
+    rows, the corpus is 100 TB — so AQE broadcasts the distinct eval
+    grams and the corpus NEVER shuffles); one hash-agg per doc after
+    the semi-style inner join; no strings past the explode."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+
+    def gram_hashes(frame, idc, txt, out_id):
+        base = frame.select(F.col(idc).alias(out_id), words_of(txt).alias("_w"))
+        w = F.col("_w")
+        grams = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return base.select(out_id, F.explode(grams).alias("g")).distinct()
+
+    doc_grams = gram_hashes(df, id_col, text, "doc_id")
+    eval_grams = gram_hashes(eval_df, id_col, eval_text, "_eid").select("g").distinct()
+    hits = (
+        doc_grams.join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def drop_repeated_spans(
     df: DataFrame,
     id_col: str,

@@ -976,6 +976,97 @@ def q_repeated_ngrams(spark, sf_dir):
 
 
 @_q(
+    "source_mix",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':mix'), 1, 8)
+               AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, source, sample_key FROM keyed
+    WHERE (source = 'src0')
+       OR (source = 'src1' AND sample_key < '80000000')
+       OR (source = 'src2' AND sample_key < '40000000')
+       OR (source NOT IN ('src0', 'src1', 'src2') AND sample_key < '20000000')
+    ORDER BY doc_id
+    """,
+)
+def q_source_mix(spark, sf_dir):
+    """Deterministic data-mixing sampler: src0 keeps 100%, src1 50%,
+    src2 25%, every other source 12.5% — decided by an md5 hash key so
+    the mixture is reproducible and ANY engine can recompute
+    membership (the oracle re-derives the kept set exactly, not just
+    its size). Pure per-row native work: no shuffle, pushes into the
+    scan."""
+    from .operators.sampling import source_mix_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return source_mix_sample(
+        docs, "doc_id", "source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.125,
+    ).select("doc_id", "source", "sample_key").orderBy("doc_id")
+
+
+@_q(
+    "decontaminate",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), eval_words AS (
+      SELECT w[5:20] AS ew FROM norm WHERE doc_id % 100 = 0
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(CASE WHEN len(ew) >= 8 THEN
+            list_transform(generate_series(1, len(ew) - 7),
+                           i -> array_to_string(ew[i:i+7], ' '))
+          ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM eval_words
+      )
+    ), doc_grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(CASE WHEN len(w) >= 8 THEN
+            list_transform(generate_series(1, len(w) - 7),
+                           i -> array_to_string(w[i:i+7], ' '))
+          ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM norm
+      )
+    ), hits AS (
+      SELECT doc_id, COUNT(*) AS n
+      FROM doc_grams JOIN eval_grams USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_shared_grams,
+           COALESCE(hits.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Llama-report recipe): flag
+    training docs sharing ≥1 distinct word 8-gram with an eval set.
+    The eval set is SEEDED as a 16-word slice (words 5..20) of every
+    100th document — those source docs must flag contaminated; word
+    soup makes organic 8-gram collisions essentially impossible. Spark
+    joins on xxhash64 gram longs (eval side AQE-broadcast, corpus
+    never shuffles); the oracle joins gram STRINGS — the usual
+    collision argument."""
+    from .operators.dedup import contamination_stats, words_of
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 100 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(words_of(F.col("text")), 5, 16)).alias("etext"),
+    )
+    return contamination_stats(
+        docs, "doc_id", F.col("text"), eval_df, F.col("etext"), n=8
+    ).orderBy("doc_id")
+
+
+@_q(
     "drop_repeated_spans",
     """
     WITH seeded AS (

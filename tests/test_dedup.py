@@ -208,6 +208,37 @@ def test_drop_repeated_spans_planted(spark):
     assert out[4]["cleaned_text"] == rows[3][1]
 
 
+def test_contamination_stats_planted(spark):
+    """A doc containing a verbatim 8-gram from the eval set flags
+    contaminated with the right distinct-gram count; 7-word overlaps
+    do NOT flag; clean docs stay clean."""
+    from downloader_spark.operators.dedup import contamination_stats
+
+    bench = "what is the capital of france paris answer"  # 8 words → 1 gram
+    rows = [
+        (1, f"some intro text {bench} and a long tail of words here"),
+        (2, "what is the capital of france paris"),  # 7-word prefix only
+        (3, "completely unrelated content about query engines and shuffles"),
+        (4, f"{bench} {bench}"),  # repeated → still DISTINCT gram count
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+        for r in contamination_stats(
+            docs, "doc_id", F.col("text"), eval_df, F.col("text"), n=8
+        ).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    # doc 4 has 9 8-grams; only those fully inside one bench copy match
+    assert got[4][1] is True and got[4][0] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        contamination_stats(docs, "doc_id", F.col("text"), eval_df, F.col("text"), n=0)
+
+
 def test_drop_repeated_spans_reassembly_identity(spark):
     """With min_df above any possible doc-frequency, cleaned_text must
     be the IDENTITY for arbitrary text (the posexplode→sort→join
@@ -309,3 +340,33 @@ def test_repeated_ngram_stats_planted(spark):
     assert got[3] == (0, 0)
     assert got[4] == (0, 0)
     assert got[5] == (0, 0)
+
+
+def test_source_mix_sample_deterministic_and_calibrated(spark):
+    """Hash sampling: exact determinism across invocations, rate-1.0
+    keeps everything, rate-0 drops everything, and observed fractions
+    land near the requested rates at n=4000/source."""
+    from downloader_spark.operators.sampling import source_mix_sample
+
+    df = spark.range(16000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.125, "s3": 0.0}
+    out = source_mix_sample(df, "doc_id", "source", rates)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["s0"] == 4000
+    assert "s3" not in counts
+    assert abs(counts["s1"] - 2000) < 200   # ±4.5σ
+    assert abs(counts["s2"] - 500) < 120
+    # exact determinism: same kept set on a re-run
+    again = source_mix_sample(df, "doc_id", "source", rates)
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+    # different salt → different (but same-sized-ish) sample
+    other = source_mix_sample(df, "doc_id", "source", rates, salt="ablation2")
+    s1 = {r["doc_id"] for r in out.filter("source='s1'").collect()}
+    s2 = {r["doc_id"] for r in other.filter("source='s1'").collect()}
+    assert s1 != s2 and abs(len(s2) - 2000) < 200
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rate"):
+        source_mix_sample(df, "doc_id", "source", {"s0": 1.2})
