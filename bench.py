@@ -51,6 +51,8 @@ HEADLINE = [
     "gopher_quality",
     "token_windows",
     "pii_redact",
+    "webtext_pipeline",
+    "decontaminate",
 ]
 
 
