@@ -57,6 +57,21 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
 SEEN_FILTER_OUTPUT = "url string, first_seen boolean"
 
 
+def _passthrough_schema(stream: DataFrame, url_col: str) -> tuple[str, list[str]]:
+    """Output schema = the input's columns (url first, aliased to
+    'url') + first_seen — extra columns (depth, headers, ...) ride
+    through the filter untouched, so a crawl pipeline doesn't lose its
+    row context at the dedup step."""
+    extras = [
+        f for f in stream.schema.fields if f.name != url_col
+    ]
+    schema = "url string, " + ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in extras
+    ) if extras else "url string"
+    schema += ", first_seen boolean"
+    return schema, [f.name for f in extras]
+
+
 def streaming_seen_filter(
     url_stream: DataFrame,
     url_col: str = "url",
@@ -110,21 +125,24 @@ def streaming_seen_filter(
             first_in_batch = ~pdf["url"].duplicated().to_numpy()
             first = first_in_batch & ~in_state
             np.bitwise_or.at(arr, byte_idx.ravel(), bit_mask.ravel())
-            yield pd.DataFrame({"url": pdf["url"], "first_seen": first})
+            out = pdf[["url"] + extras].copy()
+            out["first_seen"] = first
+            yield out
         state.update((arr.tobytes(),))
 
     from ..plans.bloom import _hash_cols
 
-    h1c, h2c = _hash_cols(url_col)
+    out_schema, extras = _passthrough_schema(url_stream, url_col)
+    h1c, h2c = _hash_cols("url")
     keyed = (
-        url_stream.select(F_.col(url_col).alias("url"))
+        url_stream.withColumnRenamed(url_col, "url")
         .withColumn("_bucket", F_.pmod(F_.xxhash64("url"), F_.lit(num_buckets)).cast("int"))
         .withColumn("_h1", h1c)
         .withColumn("_h2", h2c)
     )
     return keyed.groupBy("_bucket").applyInPandasWithState(
         dedup,
-        outputStructType=SEEN_FILTER_OUTPUT,
+        outputStructType=out_schema,
         stateStructType="bits binary",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -183,21 +201,24 @@ def streaming_seen_filter_cuckoo(
             first_in_batch = ~pdf["url"].duplicated().to_numpy()
             first = first_in_batch & ~in_state
             _insert_all(table, stash, fp[first], i1[first], table_rows, max_kicks)
-            yield pd.DataFrame({"url": pdf["url"], "first_seen": first})
+            out = pdf[["url"] + extras].copy()
+            out["first_seen"] = first
+            yield out
         state.update(
             (table.tobytes(), np.array(sorted(stash), dtype=np.uint16).tobytes())
         )
 
-    hic, hfc = _cuckoo_hash_cols(url_col)
+    out_schema, extras = _passthrough_schema(url_stream, url_col)
+    hic, hfc = _cuckoo_hash_cols("url")
     keyed = (
-        url_stream.select(F.col(url_col).alias("url"))
+        url_stream.withColumnRenamed(url_col, "url")
         .withColumn("_bucket", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int"))
         .withColumn("_hi", hic)
         .withColumn("_hf", hfc)
     )
     return keyed.groupBy("_bucket").applyInPandasWithState(
         dedup,
-        outputStructType=SEEN_FILTER_OUTPUT,
+        outputStructType=out_schema,
         stateStructType="table binary, stash binary",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

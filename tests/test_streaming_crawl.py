@@ -1,0 +1,87 @@
+"""Streaming crawl frontier (streaming/crawl.py): the self-feeding
+availableNow drain loop must fetch EXACTLY the simulator's ok-set with
+byte-identical extracted text, honor robots deny rules and the depth
+bound, and resume from its checkpoint after an interrupted loop."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from downloader_spark.crawl.simulator import simulate_crawl
+from downloader_spark.plans.crawlconfig import CrawlConfig
+from downloader_spark.sources.pagegen import generate_web_graph
+from downloader_spark.streaming.crawl import streaming_crawl
+
+MAX_DEPTH = 2
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    pages_df = generate_web_graph(spark, n_hosts=6, pages_per_host=10, seed=7)
+    rows = pages_df.collect()
+    page_map = {r["url"]: (bytes(r["html"]), r["content_type"]) for r in rows}
+    seeds = [f"http://site{h:04d}.example/p/0" for h in range(6)]
+    return pages_df, page_map, seeds
+
+
+@pytest.fixture(scope="module")
+def sim_ok(web):
+    _, page_map, seeds = web
+    # generous budgets → politeness never rations, only robots DENIES;
+    # the reachable allowed set within max_depth is the spec
+    cfg = CrawlConfig(
+        wave_seconds=10**6, max_per_host_per_wave=10**6,
+        max_urls_per_wave=10**9, max_depth=MAX_DEPTH,
+    )
+    sim = simulate_crawl(page_map, seeds, cfg, max_waves=MAX_DEPTH + 2)
+    return {u: sim.texts[u] for u, st in sim.statuses.items() if st == "ok"}
+
+
+@pytest.mark.parametrize("mode", ["bloom", "cuckoo"])
+def test_streaming_crawl_matches_simulator(spark, tmp_path, web, sim_ok, mode):
+    pages_df, _page_map, seeds = web
+    stats = streaming_crawl(
+        spark, str(tmp_path / f"sc_{mode}"), pages_df, seeds,
+        max_depth=MAX_DEPTH, seen_filter=mode,
+        max_links_per_page=CrawlConfig().max_links_per_page,
+    )
+    got = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(stats["results_dir"]).collect()
+    }
+    assert stats["n_fetched"] == len(got)  # no url fetched twice
+    assert got == sim_ok, (
+        f"streaming({mode}) fetched {len(got)} vs sim {len(sim_ok)}; "
+        f"missing={sorted(set(sim_ok) - set(got))[:3]} "
+        f"extra={sorted(set(got) - set(sim_ok))[:3]}"
+    )
+    # drains ≈ depth levels + the final empty drain
+    assert 2 <= stats["drains"] <= MAX_DEPTH + 2
+
+
+def test_streaming_crawl_resumes_from_checkpoint(spark, tmp_path, web, sim_ok):
+    """Interrupt the loop after ONE drain (only the seeds fetched);
+    re-invoking on the same work_dir must resume from the checkpoint —
+    already-fetched urls are NOT re-emitted (exactly-once carries over)
+    and the final fetched set still equals the simulator's."""
+    pages_df, _page_map, seeds = web
+    wd = str(tmp_path / "sc_resume")
+    first = streaming_crawl(
+        spark, wd, pages_df, seeds, max_depth=MAX_DEPTH, max_drains=1,
+        max_links_per_page=CrawlConfig().max_links_per_page,
+    )
+    assert 0 < first["n_fetched"] < len(sim_ok)  # interrupted mid-crawl
+    second = streaming_crawl(
+        spark, wd, pages_df, seeds, max_depth=MAX_DEPTH,
+        max_links_per_page=CrawlConfig().max_links_per_page,
+    )
+    rows = spark.read.parquet(second["results_dir"]).collect()
+    got = {r["url"]: r["text"] for r in rows}
+    assert len(rows) == len(got), "a url was fetched twice across the restart"
+    assert got == sim_ok
+
+
+def test_streaming_crawl_validates_mode(spark, tmp_path, web):
+    pages_df, _pm, seeds = web
+    with pytest.raises(ValueError, match="seen_filter"):
+        streaming_crawl(spark, str(tmp_path / "x"), pages_df, seeds,
+                        seen_filter="blom")
