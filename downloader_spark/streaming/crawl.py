@@ -100,6 +100,8 @@ def streaming_crawl(
     drain_fetch = {"n": 0}
 
     def handle(batch_df: DataFrame, _bid: int) -> None:
+        from ..operators.dedup import _ckpt_tracked, _drop_ckpt
+
         fresh = batch_df.filter("first_seen").select("url", "depth")
         canon = fresh.select(
             "url", "depth", canonicalize_udf("url").alias("c")
@@ -109,28 +111,38 @@ def streaming_crawl(
         fetched = allowed.join(pages_side, "url").withColumn(
             "ex", extract("url", "html", "_ct")
         )
-        out = fetched.select(
-            "url", "depth",
-            F.col("ex.text").alias("text"),
-            F.size("ex.links").alias("n_links"),
-            F.col("ex.links").alias("_links"),
-        ).localCheckpoint(eager=True)  # ONE extract pass feeds both writes
-        n = out.count()
-        drain_fetch["n"] += n
-        stats["n_fetched"] += n
-        out.drop("_links").write.mode("append").parquet(results_dir)
-        if max_depth > 0:
-            discovered = (
-                out.filter(F.col("depth") < max_depth)
-                .select(F.explode("_links").alias("raw"), (F.col("depth") + 1).alias("depth"))
-                .select(canonicalize_udf("raw").alias("c"), "depth")
-                .filter("c.valid")
-                .groupBy(F.col("c.url_canonical").alias("url"))
-                .agg(F.min("depth").alias("depth"))
+        # ONE extract pass feeds both writes; TRACKED checkpoint so the
+        # blocks are freed after the writes — a long crawl runs many
+        # drains, and untracked localCheckpoints would accumulate
+        # executor storage for the loop's lifetime (DataFrame.unpersist
+        # is a no-op on checkpointed frames)
+        out, ckpt_ids = _ckpt_tracked(
+            fetched.select(
+                "url", "depth",
+                F.col("ex.text").alias("text"),
+                F.size("ex.links").alias("n_links"),
+                F.col("ex.links").alias("_links"),
             )
-            # the seen filter dedups against history; write even known
-            # urls — they cost one probe each next drain
-            discovered.write.mode("append").parquet(frontier_dir)
+        )
+        try:
+            n = out.count()
+            drain_fetch["n"] += n
+            stats["n_fetched"] += n
+            out.drop("_links").write.mode("append").parquet(results_dir)
+            if max_depth > 0:
+                discovered = (
+                    out.filter(F.col("depth") < max_depth)
+                    .select(F.explode("_links").alias("raw"), (F.col("depth") + 1).alias("depth"))
+                    .select(canonicalize_udf("raw").alias("c"), "depth")
+                    .filter("c.valid")
+                    .groupBy(F.col("c.url_canonical").alias("url"))
+                    .agg(F.min("depth").alias("depth"))
+                )
+                # the seen filter dedups against history; write even known
+                # urls — they cost one probe each next drain
+                discovered.write.mode("append").parquet(frontier_dir)
+        finally:
+            _drop_ckpt(out, ckpt_ids)
 
     for _ in range(max_drains):
         stream = spark.readStream.schema(FRONTIER_SCHEMA).parquet(frontier_dir)

@@ -132,6 +132,36 @@ def test_fp_row_collision_survives_deletion(spark):
     assert int((stored != 0).sum()) + len(bytes(dup["stash"])) // 2 == 1
 
 
+def test_randomized_delete_workload_no_false_negatives(spark):
+    """Seeded random churn: build over U, delete three random disjoint
+    member batches in sequence, probe the survivors after EVERY
+    deletion — zero false negatives each time (the contract the
+    (hi,hf)-pair dedup fix protects under fingerprint collisions,
+    which a 2-row table makes frequent)."""
+    import random
+
+    rng = random.Random(99)
+    urls = [f"http://r{rng.randint(0, 9)}.example/d/{i}" for i in range(3000)]
+    urls = sorted(set(urls))
+    geo = dict(num_buckets=2, table_rows=1 << 2, slots_per_row=4)  # tiny rows
+    # tiny table → heavy (fp, i1) collision pressure; stash absorbs
+    filt = build_cuckoo(spark.createDataFrame([(u,) for u in urls], "url string"), **geo)
+    remaining = set(urls)
+    for _ in range(3):
+        batch = set(rng.sample(sorted(remaining), len(remaining) // 3))
+        filt = cuckoo_remove(
+            filt, spark.createDataFrame([(u,) for u in sorted(batch)], "url string"),
+            **geo,
+        )
+        remaining -= batch
+        probed = cuckoo_maybe_seen_cogroup(
+            spark.createDataFrame([(u,) for u in sorted(remaining)], "url string"),
+            filt, **geo,
+        )
+        n_fn = probed.filter(~F.col("maybe_seen")).count()
+        assert n_fn == 0, f"{n_fn} false negatives among {len(remaining)} members"
+
+
 def test_power_of_two_enforced(spark):
     with pytest.raises(ValueError, match="power of two"):
         build_cuckoo(_urls(spark, 0, 10), num_buckets=1, table_rows=1000)

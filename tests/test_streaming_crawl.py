@@ -85,3 +85,17 @@ def test_streaming_crawl_validates_mode(spark, tmp_path, web):
     with pytest.raises(ValueError, match="seen_filter"):
         streaming_crawl(spark, str(tmp_path / "x"), pages_df, seeds,
                         seen_filter="blom")
+
+
+def test_streaming_crawl_releases_checkpoint_blocks(spark, tmp_path, web):
+    """Per-drain localCheckpoints must be freed (a long crawl runs many
+    drains — the cache-accumulation class ADVICE r2/r3 flagged in
+    other operators)."""
+    pages_df, _pm, seeds = web
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    streaming_crawl(spark, str(tmp_path / "sc_mem"), pages_df, seeds, max_depth=1)
+    assert n_persistent() <= before
