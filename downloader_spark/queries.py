@@ -1297,10 +1297,19 @@ def q_webtext_pipeline(spark, sf_dir):
         )
         .select("doc_id", "text")
     )
+    # MATERIALIZE the gate once: drop_repeated_spans consumes its input
+    # in two subtrees (line doc-frequency + reassembly), and the gate —
+    # the 5-way union under HOF-heavy gopher features, the pipeline's
+    # most expensive stage — would evaluate twice (plan showed 20
+    # parquet scans). Tracked checkpoint, freed after the final result
+    # materializes below; output verified hash-identical.
+    from .operators.dedup import _ckpt_tracked, _drop_ckpt
+
+    gated, _gate_ids = _ckpt_tracked(gated)
     cleaned = drop_repeated_spans(
         gated, "doc_id", F.col("text"), min_df=3, min_words=3
     )
-    return (
+    out = (
         cleaned.groupBy("cleaned_text")
         .agg(
             F.min("doc_id").alias("doc_id"),
@@ -1330,6 +1339,9 @@ def q_webtext_pipeline(spark, sf_dir):
         .filter(F.col("n_tokens") > 0)  # drop fully-scrubbed docs
         .orderBy("doc_id")
     )
+    out = out.localCheckpoint(eager=True)  # small survivor table
+    _drop_ckpt(gated, _gate_ids)  # free the gate blocks immediately
+    return out
 
 
 @_q("minhash_near_dups", _JACCARD_ORACLE)
