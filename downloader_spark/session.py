@@ -36,6 +36,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # sort+limit compiles to TakeOrderedAndProject, which ALLOCATES
+        # a top-K structure of size = the limit — an "effectively
+        # uncapped" wave budget like max_urls_per_wave=10^9 kills the
+        # JVM outright (reproduced). Above this threshold Spark falls
+        # back to full sort + GlobalLimit, which is O(1) memory per
+        # partition and the right plan for huge caps anyway.
+        .config("spark.sql.execution.topKSortFallbackThreshold", "10000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # HTML rows are large (~KBs); smaller Arrow batches keep the
         # Python-worker RSS bounded at 100 TB page sizes

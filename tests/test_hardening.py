@@ -123,3 +123,25 @@ class TestCrashRecovery:
             for r in e3.all_results().filter(F.col("rank").isNotNull()).collect()
         }
         assert sa == sb
+
+
+def test_huge_wave_cap_does_not_kill_the_jvm(spark, tmp_path):
+    """max_urls_per_wave=10^9 (an 'effectively uncapped' budget) used
+    to compile to TakeOrderedAndProject with a 10^9-slot top-K
+    allocation and crash the JVM outright; the session's
+    topKSortFallbackThreshold must route huge caps to sort+limit."""
+    from downloader_spark.plans.crawlconfig import CrawlConfig
+    from downloader_spark.plans.wave import CrawlEngine
+    from downloader_spark.sources.pagegen import generate_web_graph
+
+    pages = generate_web_graph(spark, n_hosts=6, pages_per_host=6, seed=2)
+    seeds = [f"http://site{h:04d}.example/p/0" for h in range(6)]
+    cfg = CrawlConfig(
+        wave_seconds=3600, max_per_host_per_wave=100,
+        max_urls_per_wave=10**9, max_depth=1,
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "wh_hugecap"), pages, cfg)
+    eng.init(seeds)
+    eng.run(max_waves=2)
+    assert eng.all_results().count() > 0
+    eng.close()
