@@ -118,6 +118,68 @@ def sample_frames_plan(
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("in_side", IntegerType()),
+        StructField("out_side", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_digest", StringType()),  # md5 of the resized bytes
+    ]
+)
+
+
+def resize_block_mean_udf(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_side: int = 8,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Resize step of the multimodal pipeline: decode (stub) → square
+    pixel matrix → block-MEAN downsample to ``out_side``² with exact
+    integer semantics (floor of each block mean — reproducible on any
+    platform, unlike float interpolation). A real image library slots
+    into the same mapInPandas body at the decode call. Emits the
+    resized matrix's sum + md5 digest rather than the pixels (the
+    contract a test or dedup-by-thumbnail pipeline needs), plus the
+    passthrough columns."""
+    import hashlib
+
+    import numpy as np
+
+    passthrough = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(passthrough + list(RESIZE_SCHEMA.fields))
+    keep = [f.name for f in passthrough]
+
+    def gen(batches):
+        for pdf in batches:
+            cols = {"in_side": [], "out_side": [], "pixel_sum": [], "pixel_digest": []}
+            for blob in pdf[payload_col]:
+                img = decode_image_stub(
+                    bytes(blob) if blob is not None else b"",
+                    deterministic_fake=deterministic_fake,
+                )
+                side = img.shape[0]
+                k = min(out_side, side)
+                bounds = (np.arange(k + 1) * side) // k
+                small = np.empty((k, k), dtype=np.int64)
+                for i in range(k):
+                    for j in range(k):
+                        block = img[bounds[i]:bounds[i + 1], bounds[j]:bounds[j + 1]]
+                        small[i, j] = int(block.sum()) // block.size
+                cols["in_side"].append(side)
+                cols["out_side"].append(k)
+                cols["pixel_sum"].append(int(small.sum()))
+                cols["pixel_digest"].append(
+                    hashlib.md5(small.astype(np.uint8).tobytes()).hexdigest()
+                )
+            out = pdf[keep].copy()
+            for name, vals in cols.items():
+                out[name] = vals
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def synth_media_from_embeddings(spark, sf_dir: str) -> DataFrame:
     """Deterministic fake media rows derived from the embeddings table:
     payload = UTF-8 bytes of the comma-joined INTEGER-quantized vector

@@ -1964,6 +1964,53 @@ def q_multi_accept(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @_q(
+    "media_frames",
+    """
+    WITH media AS (
+      SELECT vec_id AS media_id,
+             CAST(vec_id % 9000 + 1000 AS BIGINT) AS duration_ms,
+             array_to_string(list_transform(embedding,
+               x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                         AS VARCHAR)), ',') AS s
+      FROM embeddings
+    ), frames AS (
+      SELECT media_id, s,
+             unnest(generate_series(0, duration_ms - 1, 1000)) AS frame_ts_ms
+      FROM media
+    )
+    SELECT media_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+           md5(substring(s,
+             CAST((frame_ts_ms // 1000) * 7 % greatest(length(s) - 15, 1)
+                  AS BIGINT) + 1, 16)) AS frame_digest
+    FROM frames ORDER BY media_id, frame_ts_ms
+    """,
+)
+def q_media_frames(spark, sf_dir):
+    """Frame-sampling over the synthetic media corpus: one row per
+    (media, 1000 ms timestamp) via sample_frames_plan's native
+    sequence-explode, each frame's payload slice digested (the decode
+    of the slice is the stubbed codec step — the PLUMBING is what a
+    video pipeline needs: row explosion bounded by duration, slices
+    addressed inside the payload, no Python). Payloads are the
+    integer-quantized strings DuckDB rebuilds exactly, so the oracle
+    recomputes every frame digest."""
+    from .multimodal import sample_frames_plan, synth_media_from_embeddings
+
+    media = synth_media_from_embeddings(spark, sf_dir)
+    frames = sample_frames_plan(media, every_ms=1000)
+    s = F.decode(F.col("payload"), "UTF-8")
+    pos = (
+        (F.col("frame_ts_ms") / 1000).cast("long") * 7
+        % F.greatest(F.length(s) - 15, F.lit(1))
+    ).cast("long") + 1
+    return frames.select(
+        "media_id",
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        F.md5(F.encode(F.substring(s, pos, 16), "UTF-8")).alias("frame_digest"),
+    ).orderBy("media_id", "frame_ts_ms")
+
+
+@_q(
     "media_features",
     """
     WITH media AS (

@@ -187,3 +187,48 @@ class TestMultimodal:
             assert r["byte_mean"] == mean
             assert r["byte_entropy"] == ent
             assert list(r["histogram"]) == hist
+
+    def test_resize_block_mean_matches_numpy_recompute(self, spark):
+        """Resize plumbing: decode(fake) → exact integer block-mean
+        downsample; sums and digests must equal a pure-numpy recompute
+        over the same payload bytes, and tiny payloads clamp out_side
+        to the decoded side."""
+        import hashlib
+
+        import numpy as np
+
+        from downloader_spark.multimodal import (
+            decode_image_stub,
+            resize_block_mean_udf,
+            synth_media_from_embeddings,
+        )
+
+        media = synth_media_from_embeddings(spark, "/root/testdata/sf0.001")
+        sample = media.limit(15)
+        payloads = {r["media_id"]: bytes(r["payload"]) for r in sample.collect()}
+        got = {
+            r["media_id"]: r
+            for r in resize_block_mean_udf(sample, out_side=8).collect()
+        }
+        for mid, blob in payloads.items():
+            img = decode_image_stub(blob, deterministic_fake=True)
+            side = img.shape[0]
+            k = min(8, side)
+            bounds = (np.arange(k + 1) * side) // k
+            small = np.empty((k, k), dtype=np.int64)
+            for i in range(k):
+                for j in range(k):
+                    blk = img[bounds[i]:bounds[i+1], bounds[j]:bounds[j+1]]
+                    small[i, j] = int(blk.sum()) // blk.size
+            r = got[mid]
+            assert r["in_side"] == side and r["out_side"] == k
+            assert r["pixel_sum"] == int(small.sum())
+            assert r["pixel_digest"] == hashlib.md5(
+                small.astype(np.uint8).tobytes()
+            ).hexdigest()
+        # tiny payload → decoded side < out_side → clamped, no crash
+        tiny = spark.createDataFrame(
+            [(1, bytearray(b"abcdef"))], "media_id long, payload binary"
+        )
+        row = resize_block_mean_udf(tiny, out_side=8).collect()[0]
+        assert row["in_side"] == 2 and row["out_side"] == 2
