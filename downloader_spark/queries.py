@@ -976,6 +976,39 @@ def q_repeated_ngrams(spark, sf_dir):
 
 
 @_q(
+    "corpus_rollup",
+    """
+    SELECT source, lang,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY CUBE (source, lang)
+    """,
+)
+def q_corpus_rollup(spark, sf_dir):
+    """Multi-dimensional corpus accounting via CUBE(source, lang) —
+    every (source×lang), per-source, per-lang and grand-total rollup in
+    ONE pass (Spark expands grouping sets map-side; one shuffle, not
+    four queries — the way a 100 TB corpus dashboard should be fed).
+    grouping_id disambiguates aggregated-NULL from data-NULL; both
+    engines encode the same (source, lang) bit order."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .select("source", "lang", "gid", "n_docs", "total_chars", "max_chars")
+        .orderBy("gid", "source", "lang")
+    )
+
+
+@_q(
     "source_mix",
     r"""
     WITH keyed AS (
@@ -1733,6 +1766,38 @@ def q_windowed_counts(spark, sf_dir):
             "sum_value",
         )
         .orderBy("window_start", "event_type")
+    )
+
+
+@_q(
+    "sliding_counts",
+    """
+    WITH k AS (
+      SELECT ts, value, unnest(generate_series(0, 1)) AS shift
+      FROM events
+    )
+    SELECT CAST(to_timestamp((CAST(FLOOR(epoch(ts) / 10800) AS BIGINT) - shift)
+                             * 10800) AS TIMESTAMP) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM k GROUP BY 1 ORDER BY window_start
+    """,
+)
+def q_sliding_counts(spark, sf_dir):
+    """SLIDING windows (6 h window, 3 h slide — overlapping, unlike
+    windowed_counts' tumbling buckets): each event lands in exactly 2
+    windows. Spark expands window membership map-side before one hash
+    agg; the oracle derives the same 2 window starts per event from
+    epoch arithmetic (slide-aligned starts at k·10800 s)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "n", "sum_value")
+        .orderBy("window_start")
     )
 
 
