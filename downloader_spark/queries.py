@@ -976,6 +976,53 @@ def q_repeated_ngrams(spark, sf_dir):
 
 
 @_q(
+    "crawl_reconcile",
+    """
+    WITH planned AS (
+      SELECT doc_id, CAST(doc_id % 7 AS INT) AS priority
+      FROM documents WHERE doc_id % 3 = 0
+    ), fetched AS (
+      SELECT doc_id, CAST(doc_id % 5 AS INT) AS attempts
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT COALESCE(p.doc_id, f.doc_id) AS doc_id,
+           p.priority, f.attempts,
+           CASE WHEN p.doc_id IS NULL THEN 'fetched_only'
+                WHEN f.doc_id IS NULL THEN 'planned_only'
+                ELSE 'both' END AS reconcile
+    FROM planned p FULL OUTER JOIN fetched f ON p.doc_id = f.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_crawl_reconcile(spark, sf_dir):
+    """Planned-vs-fetched reconciliation — the crawl-ops audit query —
+    as a FULL OUTER join (the one join type the suite didn't exercise:
+    inner/left/anti/semi/broadcast are covered elsewhere). Both sides
+    shuffle on the key; at 10^10 URLs this is the same co-partitioned
+    merge the seen set uses."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    planned = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", (F.col("doc_id") % 7).cast("int").alias("priority")
+    )
+    fetched = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", (F.col("doc_id") % 5).cast("int").alias("attempts")
+    )
+    p, f_ = planned.alias("p"), fetched.alias("f")
+    return (
+        p.join(f_, F.col("p.doc_id") == F.col("f.doc_id"), "full_outer")
+        .select(
+            F.coalesce("p.doc_id", "f.doc_id").alias("doc_id"),
+            "priority", "attempts",
+            F.when(F.col("p.doc_id").isNull(), "fetched_only")
+            .when(F.col("f.doc_id").isNull(), "planned_only")
+            .otherwise("both")
+            .alias("reconcile"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "corpus_rollup",
     """
     SELECT source, lang,
