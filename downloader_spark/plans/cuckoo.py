@@ -279,7 +279,14 @@ def cuckoo_remove(
         if len(rem_pdf):
             hi = rem_pdf["_hi"].to_numpy(dtype=np.int64).view(np.uint64)
             hf = rem_pdf["_hf"].to_numpy(dtype=np.int64).view(np.uint64)
-            fp, i1, i2 = _fp_and_rows(hi, hf, table_rows)
+            # dedup repeated removal urls on the SAME 128-bit pair the
+            # build dedups inserts on: a url stored once must delete
+            # exactly once — a duplicated removal row would clear a
+            # SECOND copy, i.e. another url's colliding fingerprint
+            # (deleting a non-member, the contract violation Fan et al.
+            # warn about)
+            uniq = np.unique(np.stack([hi, hf]), axis=1)
+            fp, i1, i2 = _fp_and_rows(uniq[0], uniq[1], table_rows)
             for f, r1, r2 in zip(fp.tolist(), i1.tolist(), i2.tolist()):
                 for row in (r1, r2):
                     slots = np.flatnonzero(table[row] == f)

@@ -132,6 +132,39 @@ def test_fp_row_collision_survives_deletion(spark):
     assert int((stored != 0).sum()) + len(bytes(dup["stash"])) // 2 == 1
 
 
+def test_duplicated_removal_rows_delete_once(spark):
+    """A url listed TWICE in the removals must delete exactly one
+    stored copy — the second row would otherwise clear a colliding
+    member's copy (deleting a non-member). Uses the constructed
+    (fp, i1) collision so the hazard is real, not probabilistic."""
+    from downloader_spark.functions.hashing import xxh64_str
+    from downloader_spark.plans.cuckoo import _MASK64
+
+    rows = 2
+    by_key: dict[tuple[int, int], list[str]] = {}
+    pair = None
+    for i in range(20_000):
+        url = f"http://c.example/x/{i}"
+        hi = xxh64_str(url + "\x02") & _MASK64
+        hf = xxh64_str(url + "\x03") & _MASK64
+        key = (hf % 65535 + 1, hi % rows)
+        by_key.setdefault(key, []).append(url)
+        if len(by_key[key]) == 2:
+            pair = by_key[key]
+            break
+    assert pair is not None
+    a, b = pair
+    geo = dict(num_buckets=1, table_rows=rows, slots_per_row=4)
+    filt = build_cuckoo(spark.createDataFrame([(a,), (b,)], "url string"), **geo)
+    removed = cuckoo_remove(
+        filt, spark.createDataFrame([(a,), (a,)], "url string"), **geo
+    )
+    kept = cuckoo_maybe_seen_cogroup(
+        spark.createDataFrame([(b,)], "url string"), removed, **geo
+    )
+    assert kept.filter(~F.col("maybe_seen")).count() == 0
+
+
 def test_randomized_delete_workload_no_false_negatives(spark):
     """Seeded random churn: build over U, delete three random disjoint
     member batches in sequence, probe the survivors after EVERY
