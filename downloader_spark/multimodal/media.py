@@ -59,6 +59,8 @@ def decode_image_stub(payload: bytes, deterministic_fake: bool = False):
     import numpy as np
 
     arr = np.frombuffer(payload, dtype=np.uint8)
+    if not len(arr):  # empty/null payload → 1×1 zero pixel, not a crash
+        return np.zeros((1, 1), dtype=np.uint8)
     side = max(1, int(len(arr) ** 0.5))
     return arr[: side * side].reshape(side, side)
 

@@ -685,20 +685,26 @@ def contamination_stats(
     if n <= 0:
         raise ValueError("n must be positive")
 
-    def gram_hashes(frame, idc, txt, out_id):
-        base = frame.select(F.col(idc).alias(out_id), words_of(txt).alias("_w"))
-        w = F.col("_w")
-        grams = F.when(
+    def grams_of(w):
+        return F.when(
             F.size(w) >= n,
             F.transform(
                 F.sequence(F.lit(1), F.size(w) - n + 1),
                 lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")),
             ),
         ).otherwise(F.array().cast("array<bigint>"))
-        return base.select(out_id, F.explode(grams).alias("g")).distinct()
 
-    doc_grams = gram_hashes(df, id_col, text, "doc_id")
-    eval_grams = gram_hashes(eval_df, id_col, eval_text, "_eid").select("g").distinct()
+    doc_grams = (
+        df.select(F.col(id_col).alias("doc_id"), words_of(text).alias("_w"))
+        .select("doc_id", F.explode(grams_of(F.col("_w"))).alias("g"))
+        .distinct()
+    )
+    # the eval side needs no id — only its distinct gram set matters
+    eval_grams = (
+        eval_df.select(words_of(eval_text).alias("_w"))
+        .select(F.explode(grams_of(F.col("_w"))).alias("g"))
+        .distinct()
+    )
     hits = (
         doc_grams.join(eval_grams, "g")
         .groupBy("doc_id")

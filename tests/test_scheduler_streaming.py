@@ -232,3 +232,14 @@ class TestMultimodal:
         )
         row = resize_block_mean_udf(tiny, out_side=8).collect()[0]
         assert row["in_side"] == 2 and row["out_side"] == 2
+
+    def test_resize_handles_empty_and_null_payloads(self, spark):
+        from downloader_spark.multimodal import decode_image_stub, resize_block_mean_udf
+
+        assert decode_image_stub(b"", deterministic_fake=True).shape == (1, 1)
+        df = spark.createDataFrame(
+            [(1, bytearray(b"")), (2, None)], "media_id long, payload binary"
+        )
+        rows = {r["media_id"]: r for r in resize_block_mean_udf(df).collect()}
+        for mid in (1, 2):
+            assert rows[mid]["in_side"] == 1 and rows[mid]["pixel_sum"] == 0
