@@ -976,6 +976,80 @@ def q_repeated_ngrams(spark, sf_dir):
 
 
 @_q(
+    "link_pagerank",
+    """
+    WITH params AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    ej AS (
+      SELECT doc_id AS s,
+             unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS j
+      FROM documents
+    ), edges AS (
+      SELECT s, (s * 31 + j * 97 + 7) % (SELECT nn FROM params) AS d FROM ej
+    ), deg AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY s
+    ), r0 AS (
+      SELECT doc_id AS node, CAST(1000000000 AS BIGINT) // (SELECT nn FROM params) AS r
+      FROM documents
+    ), it1 AS (
+      SELECT d.doc_id AS node,
+             (15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT nn FROM params))
+             + (85 * COALESCE(c.inn, 0)) // 100 AS r
+      FROM documents d LEFT JOIN (
+        SELECT e.d AS node, SUM(r0.r // deg.dg) AS inn
+        FROM edges e JOIN r0 ON e.s = r0.node JOIN deg ON e.s = deg.s
+        GROUP BY e.d
+      ) c ON d.doc_id = c.node
+    ), it2 AS (
+      SELECT d.doc_id AS node,
+             (15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT nn FROM params))
+             + (85 * COALESCE(c.inn, 0)) // 100 AS r
+      FROM documents d LEFT JOIN (
+        SELECT e.d AS node, SUM(it1.r // deg.dg) AS inn
+        FROM edges e JOIN it1 ON e.s = it1.node JOIN deg ON e.s = deg.s
+        GROUP BY e.d
+      ) c ON d.doc_id = c.node
+    ), it3 AS (
+      SELECT d.doc_id AS node,
+             (15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT nn FROM params))
+             + (85 * COALESCE(c.inn, 0)) // 100 AS r
+      FROM documents d LEFT JOIN (
+        SELECT e.d AS node, SUM(it2.r // deg.dg) AS inn
+        FROM edges e JOIN it2 ON e.s = it2.node JOIN deg ON e.s = deg.s
+        GROUP BY e.d
+      ) c ON d.doc_id = c.node
+    )
+    SELECT node, CAST(r AS BIGINT) AS rank_micro FROM it3 ORDER BY node
+    """,
+)
+def q_link_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (3 power iterations, damping 0.85) over a
+    deterministic pseudo-random link graph seeded from doc_ids (1-3
+    out-edges per doc). Integer micro-unit arithmetic makes the ranks
+    BIT-EXACT under any partitioning, so the oracle unrolls the same
+    three iterations in SQL and value-matches — an iterative
+    DataFrame-loop operator with a hard external oracle (the
+    connected_keepers per-round-checkpoint machinery keeps the loop's
+    plan and cache O(1))."""
+    from .operators.graph import pagerank_fixedpoint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("j"),
+    ).select(
+        "src", ((F.col("src") * 31 + F.col("j") * 97 + 7) % n).alias("dst")
+    )
+    return (
+        pagerank_fixedpoint(edges, iters=3, damping_pct=85)
+        .select("node", "rank_micro")
+        .orderBy("node")
+    )
+
+
+@_q(
     "crawl_reconcile",
     """
     WITH planned AS (

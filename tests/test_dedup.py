@@ -370,3 +370,46 @@ def test_source_mix_sample_deterministic_and_calibrated(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="rate"):
         source_mix_sample(df, "doc_id", "source", {"s0": 1.2})
+
+
+def test_pagerank_fixedpoint_matches_python_recompute(spark):
+    """Exact fixed-point mirror on a small graph: hub gets the top
+    rank, every value equals the integer-arithmetic recompute, the
+    loop releases its per-round checkpoints, and re-running returns
+    BIT-identical ranks (the determinism the operator exists for)."""
+    from downloader_spark.operators.graph import SCALE, pagerank_fixedpoint
+
+    edges = [(1, 2), (3, 2), (4, 2), (2, 5), (5, 1), (4, 5)]
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(3):
+        inn = {v: 0 for v in nodes}
+        for s, d in edges:
+            inn[d] += r[s] // deg[s]
+        r = {v: 15 * SCALE // (100 * n) + 85 * inn[v] // 100 for v in nodes}
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        row["node"]: row["rank_micro"]
+        for row in pagerank_fixedpoint(df, iters=3).collect()
+    }
+    assert got == r
+    # rank mass: total stays ≤ SCALE (floor losses + dangling drop)
+    assert 0 < sum(got.values()) <= SCALE
+    assert n_persistent() <= before + 1  # only the result checkpoint
+    again = {
+        row["node"]: row["rank_micro"]
+        for row in pagerank_fixedpoint(df.repartition(7), iters=3).collect()
+    }
+    assert again == got  # partitioning-independent, bit-exact
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="damping_pct"):
+        pagerank_fixedpoint(df, damping_pct=101)
