@@ -53,6 +53,8 @@ HEADLINE = [
     "pii_redact",
     "webtext_pipeline",
     "decontaminate",
+    "link_pagerank",
+    "corpus_rollup",
 ]
 
 
