@@ -976,6 +976,85 @@ def q_repeated_ngrams(spark, sf_dir):
 
 
 @_q(
+    "hll_distinct",
+    """
+    WITH urls AS (
+      SELECT 'http://h' || CAST(doc_id % 37 AS VARCHAR) || '.example/p/'
+             || CAST(doc_id AS VARCHAR) AS u
+      FROM documents
+      UNION ALL
+      SELECT 'http://h' || CAST(doc_id % 37 AS VARCHAR) || '.example/p/'
+             || CAST(doc_id AS VARCHAR) FROM documents
+      UNION ALL
+      SELECT 'http://h' || CAST(doc_id % 37 AS VARCHAR) || '.example/p/'
+             || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 2 = 0
+    ), hashed AS (
+      SELECT CAST('0x' || substr(md5(u), 1, 15) AS BIGINT) AS h FROM urls
+    ), rho_t AS (
+      SELECT CAST(h % 256 AS INT) AS register_id,
+             CASE WHEN (h // 256) % 4294967296 = 0 THEN 33
+                  ELSE CAST(log2(((h // 256) % 4294967296)
+                                 & -((h // 256) % 4294967296)) AS INT) + 1
+             END AS rho
+      FROM hashed
+    ), regs AS (
+      SELECT r.register_id, CAST(COALESCE(mx.max_rho, 0) AS INT) AS max_rho
+      FROM (SELECT unnest(generate_series(0, 255)) AS register_id) r
+      LEFT JOIN (SELECT register_id, MAX(rho) AS max_rho
+                 FROM rho_t GROUP BY register_id) mx
+      USING (register_id)
+    ), agg AS (
+      SELECT SUM(CASE WHEN max_rho = 0 THEN CAST(8589934592 AS BIGINT)
+                      ELSE CAST(1 AS BIGINT) << (33 - max_rho) END) AS harmonic_s,
+             SUM(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS n_zero_registers,
+             string_agg(CAST(max_rho AS VARCHAR), ',' ORDER BY register_id)
+               AS registers_csv
+      FROM regs
+    )
+    SELECT registers_csv,
+           CAST(harmonic_s AS BIGINT) AS harmonic_s,
+           CAST(n_zero_registers AS BIGINT) AS n_zero_registers,
+           ROUND(CASE WHEN n_zero_registers > 0
+                       AND 404351522913636.8 / harmonic_s <= 640.0
+                      THEN 256.0 * ln(256.0 / n_zero_registers)
+                      ELSE 404351522913636.8 / harmonic_s END, 4) AS est_distinct
+    FROM agg
+    """,
+)
+def q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-URL sketch with a FULL
+    external oracle — registers, harmonic denominator, zero count and
+    the bias-corrected estimate all recomputed by DuckDB (Spark's
+    built-in approx_count_distinct can never be value-verified; this
+    sketch hashes with the engine-portable md5_60bit and does all
+    register math in exact integers). Input: documents-derived urls
+    duplicated 2.5× — the sketch must see through multiplicity."""
+    from .functions.sketch import hll_estimate, hll_registers, md5_60bit
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    u = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"),
+    ).alias("u")
+    urls = (
+        docs.select(u)
+        .unionByName(docs.select(u))
+        .unionByName(docs.filter(F.col("doc_id") % 2 == 0).select(u))
+    )
+    regs = hll_registers(urls, F.col("u"), m=256, hasher=md5_60bit)
+    csv = regs.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("register_id", "max_rho"))),
+                lambda x: x["max_rho"].cast("string"),
+            ),
+            ",",
+        ).alias("registers_csv")
+    )
+    return csv.crossJoin(hll_estimate(regs, m=256))
+
+
+@_q(
     "link_pagerank",
     """
     WITH params AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),

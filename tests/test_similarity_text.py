@@ -385,3 +385,62 @@ def test_redact_pii_crafted(spark):
     assert got[4]["red"] == rows[3][1]
     assert (got[5]["n_email"], got[5]["n_phone"], got[5]["n_ipv4"]) == (1, 1, 1)
     assert got[5]["red"] == "mix <EMAIL> <PHONE> and <IP> end"
+
+
+def test_hll_sketch_accuracy_merge_and_recompute(spark):
+    """HLL: (a) estimate within ~3σ of truth at 20k distinct items
+    (σ ≈ 1.04/√256 ≈ 6.5%); (b) merge(a, b) ≡ sketch(a ∪ b) exactly;
+    (c) md5-hasher registers equal a pure-python recompute; (d) m
+    validation."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from downloader_spark.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+        md5_60bit,
+    )
+
+    items = spark.range(20_000).select(
+        F.concat(F.lit("item-"), F.col("id").cast("string")).alias("s")
+    )
+    regs = hll_registers(items, F.col("s"), m=256)
+    est = hll_estimate(regs, m=256).collect()[0]["est_distinct"]
+    assert abs(est - 20_000) / 20_000 < 0.20, est
+
+    # merge property: elementwise max ≡ sketch of the union
+    a = spark.range(0, 3000).select(F.concat(F.lit("u"), F.col("id").cast("string")).alias("s"))
+    b = spark.range(2000, 6000).select(F.concat(F.lit("u"), F.col("id").cast("string")).alias("s"))
+    merged = {
+        r["register_id"]: r["max_rho"]
+        for r in hll_merge(
+            hll_registers(a, F.col("s")), hll_registers(b, F.col("s"))
+        ).collect()
+    }
+    union = {
+        r["register_id"]: r["max_rho"]
+        for r in hll_registers(a.unionByName(b).distinct(), F.col("s")).collect()
+    }
+    assert merged == union
+
+    # python recompute with the portable hasher
+    vals = [f"doc-{i}" for i in range(500)]
+    py_regs = {i: 0 for i in range(256)}
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        reg = h % 256
+        w = (h >> 8) % (1 << 32)
+        rho = 33 if w == 0 else (w & -w).bit_length()
+        py_regs[reg] = max(py_regs[reg], rho)
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["register_id"]: r["max_rho"]
+        for r in hll_registers(df, F.col("s"), hasher=md5_60bit).collect()
+    }
+    assert got == py_regs
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="power of two"):
+        hll_registers(df, F.col("s"), m=100)
