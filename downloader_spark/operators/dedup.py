@@ -345,11 +345,13 @@ def ngram_jaccard_pairs(
         # with no release hook accumulate executor cache across
         # invocations — LRU eviction saves correctness, not memory
         # pressure). The pair list above threshold is tiny relative to
-        # the gram explosion, so eagerly materializing it as a
-        # localCheckpoint (the connected_keepers pattern; ≤ one
-        # persistent handle may remain, owned by the caller) lets the
-        # cache serve all four consumers and then free immediately.
-        out = out.localCheckpoint(eager=True)
+        # the gram explosion, so eagerly materializing it as a TRACKED
+        # localCheckpoint lets the cache serve all four consumers and
+        # free immediately; the result's own blocks are exposed via
+        # release_result (ADVICE r4: an untracked checkpoint can never
+        # be freed by the caller — unpersist is a no-op on it).
+        out, out_ids = _ckpt_tracked(out)
+        out._ckpt_ids = out_ids
         cached_grams.unpersist()
     return out
 
@@ -382,6 +384,20 @@ def _drop_ckpt(df: DataFrame, ids: set[int]) -> None:
         opt = m.get(rdd_id)
         if not opt.isEmpty():
             opt.get().unpersist(False)
+
+
+def release_result(df: DataFrame) -> None:
+    """Free the checkpoint blocks behind a DataFrame returned by the
+    operators here that materialize their result internally
+    (ngram_jaccard_pairs, repeated_ngram_stats, and query-layer
+    composites like webtext_pipeline). DataFrame.unpersist() is a no-op
+    on checkpointed frames, so long-lived drivers that call these
+    operators repeatedly MUST release superseded results through this
+    hook once consumed (ADVICE r4). No-op for frames without tracked
+    blocks; the frame is unusable afterwards."""
+    ids = getattr(df, "_ckpt_ids", None)
+    if ids:
+        _drop_ckpt(df, ids)
 
 
 def connected_keepers(
@@ -655,9 +671,10 @@ def repeated_ngram_stats(
     if cached_occ is not None:
         # release the gram cache (ADVICE r3): the per-doc counts (3
         # longs/doc) are orders of magnitude smaller than the gram
-        # explosion — eagerly localCheckpoint them (connected_keepers
-        # pattern) and free the cache before returning
-        out = out.localCheckpoint(eager=True)
+        # explosion — TRACKED checkpoint (freeable via release_result,
+        # ADVICE r4) and free the cache before returning
+        out, out_ids = _ckpt_tracked(out)
+        out._ckpt_ids = out_ids
         cached_occ.unpersist()
     return out
 

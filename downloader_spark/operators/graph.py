@@ -55,6 +55,12 @@ def pagerank_fixedpoint(
     )
     nodes, node_ids = _ckpt_tracked(nodes)
     n = nodes.count()
+    if n == 0:
+        # SCALE // n below would raise a bare ZeroDivisionError (ADVICE
+        # r4); fail with intent — callers that may see empty graphs
+        # (e.g. a crawl before any links landed) should guard upstream
+        _drop_ckpt(nodes, node_ids)
+        raise ValueError("pagerank_fixedpoint: edges is empty (no nodes to rank)")
     outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     outdeg, deg_ids = _ckpt_tracked(outdeg)
 

@@ -1572,7 +1572,10 @@ def q_webtext_pipeline(spark, sf_dir):
         .filter(F.col("n_tokens") > 0)  # drop fully-scrubbed docs
         .orderBy("doc_id")
     )
-    out = out.localCheckpoint(eager=True)  # small survivor table
+    # small survivor table — TRACKED so a long-lived caller can free it
+    # via operators.dedup.release_result once consumed (ADVICE r4)
+    out, _out_ids = _ckpt_tracked(out)
+    out._ckpt_ids = _out_ids
     _drop_ckpt(gated, _gate_ids)  # free the gate blocks immediately
     return out
 

@@ -276,15 +276,24 @@ def test_gram_operators_release_cache(spark, docs):
     def n_persistent() -> int:
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
+    from downloader_spark.operators.dedup import release_result
+
     before = n_persistent()
     pairs = ngram_jaccard_pairs(docs, "doc_id", F.col("text"), k=3, threshold=0.3)
     assert pairs.count() >= 1
     assert n_persistent() <= before + 1  # only the result checkpoint
+    # ADVICE r4: the result checkpoint itself must be freeable — a
+    # long-lived driver calling the operator repeatedly would otherwise
+    # accumulate one checkpoint per invocation until JVM GC
+    release_result(pairs)
+    assert n_persistent() <= before
 
     before2 = n_persistent()
     stats = repeated_ngram_stats(docs, "doc_id", F.col("text"), n=3, min_df=2)
     assert stats.count() == docs.count()
     assert n_persistent() <= before2 + 1
+    release_result(stats)
+    assert n_persistent() <= before2
 
     # opt-out path: no cache at all, plan fully lazy
     before3 = n_persistent()
@@ -413,3 +422,18 @@ def test_pagerank_fixedpoint_matches_python_recompute(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="damping_pct"):
         pagerank_fixedpoint(df, damping_pct=101)
+
+
+def test_pagerank_empty_edges_raises(spark):
+    """ADVICE r4: an empty edge table must fail with intent, not a bare
+    ZeroDivisionError — and must not leak its node checkpoint."""
+    from downloader_spark.operators.graph import pagerank_fixedpoint
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    before = n_persistent()
+    with pytest.raises(ValueError, match="edges is empty"):
+        pagerank_fixedpoint(empty)
+    assert n_persistent() <= before
