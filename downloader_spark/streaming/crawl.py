@@ -11,28 +11,39 @@ last checkpoint:
         in the state store — streaming/stateful.py; extra columns like
         depth ride through)
       → foreachBatch:
-          canonicalize → robots allow gate (same politeness dim +
-          predicate as the batch engine) → static pages join → ONE
-          Arrow extract pass → results appended, discovered links
-          (depth+1, bounded) written BACK into frontier_dir
+          canonicalize → robots allow gate + PER-HOST BUDGET rank (the
+          same politeness dim, predicate and crawl-delay budget the
+          batch engine enforces; over-budget urls are REQUEUED to the
+          next drain, not dropped) → static pages join → ONE Arrow
+          extract pass → results + discovered links (depth+1, bounded)
+          + requeued urls written BACK into the frontier dir
 
 The files foreachBatch writes during drain N are exactly what drain
 N+1 picks up — the self-feeding loop a crawl is — and the loop
-terminates when a drain schedules nothing new. Both the processed-file
-log and the seen state live in the checkpoint, so a killed loop
-resumes exactly where it stopped (same exactly-once contract the
-seen-filter restart tests pin).
+terminates when a drain schedules nothing new.
 
-Scale notes: the frontier stream carries only (url, depth) rows; the
-100 TB pages corpus is on the STATIC side of a stream-static join
-(never shuffled by the stream); the seen state is one bitmap/table row
-per bucket — bounded, not per-URL; and each drain is one incremental
-micro-batch, so cost is O(new frontier), the same invariant the batch
-wave engine holds. The batch engine remains the production path (exact
-wave semantics, overlapped commit chains, resume-from-snapshot);
-this demonstrates the same crawl expressed through checkpointed
-streaming state, and its fetched set + texts are pinned against the
-simulator in tests/test_streaming_crawl.py.
+Exactly-once: foreachBatch is an at-least-once hook, so every batch
+write is made IDEMPOTENT by batch id — each batch overwrites a
+deterministic per-batch subdirectory (``b<batchId>``) and stamps a
+commit marker after both writes land; a crash between the writes and
+the streaming checkpoint's own commit replays the batch, which either
+skips (marker present) or rewrites the same subdirectories with the
+same rows (marker absent → the partial output is overwritten, never
+appended next to). Together with the checkpointed seen state this
+restores the exactly-once RESULTS contract the restart tests pin.
+
+Scale notes: the frontier stream carries only (url, depth, requeued)
+rows; the 100 TB pages corpus is on the STATIC side of a stream-static
+join (never shuffled by the stream); the seen state is one
+bitmap/table row per bucket — bounded, not per-URL; and each drain is
+one incremental micro-batch, so cost is O(new frontier), the same
+invariant the batch wave engine holds. The per-host budget rank is the
+batch engine's two-phase salted window (plans/wave.py:447-459) —
+hot-host skew is capped before the exact rank. The batch engine
+remains the production path (exact wave semantics, overlapped commit
+chains, resume-from-snapshot); this demonstrates the same crawl
+expressed through checkpointed streaming state, and its fetched set +
+texts are pinned against the simulator in tests/test_streaming_crawl.py.
 
 No reference counterpart (the reference crawls per-request in asyncio,
 batch.py:274-355 is its closest batch notion); the streaming shape is
@@ -43,14 +54,14 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.udfs import canonicalize_udf, make_crawl_extract_udf
 from ..plans.crawlconfig import CrawlConfig
 from ..plans.politeness import build_robots_dim, with_politeness
 
-FRONTIER_SCHEMA = "url string, depth int"
+FRONTIER_SCHEMA = "url string, depth int, requeued boolean"
 
 
 def streaming_crawl(
@@ -65,22 +76,30 @@ def streaming_crawl(
     table_rows: int = 1 << 12,
     max_links_per_page: int = 20,
     max_drains: int = 64,
+    cfg: CrawlConfig | None = None,
 ) -> dict:
     """Run the self-feeding drain loop to frontier exhaustion; returns
-    ``{"drains": n, "n_fetched": n, "results_dir": path}``. Results are
-    appended parquet rows (url, depth, text, n_links)."""
+    ``{"drains": n, "n_fetched": n, "results_dir": path}`` where
+    ``n_fetched`` counts pages fetched BY THIS CALL (a resumed call
+    does not re-count batches a previous process completed). Results
+    are parquet rows (url, depth, text, n_links) under per-batch
+    subdirectories — read them with
+    ``spark.read.option("recursiveFileLookup", "true")``."""
     if seen_filter not in ("bloom", "cuckoo"):
         raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
+    from ..operators.dedup import _ckpt_tracked, _drop_ckpt
     from .stateful import streaming_seen_filter, streaming_seen_filter_cuckoo
 
     frontier_dir = os.path.join(work_dir, "frontier")
     results_dir = os.path.join(work_dir, "results")
     ckpt_dir = os.path.join(work_dir, "ckpt")
+    commits_dir = os.path.join(work_dir, "commits")
     os.makedirs(frontier_dir, exist_ok=True)
+    os.makedirs(results_dir, exist_ok=True)
+    os.makedirs(commits_dir, exist_ok=True)
 
-    cfg = CrawlConfig()  # only the politeness dim/broadcast flags are used
+    cfg = cfg or CrawlConfig()  # politeness dim/budgets + broadcast flags
     robots = build_robots_dim(pages).cache()
-    robots.count()
     pages_side = pages.select(
         "url", "html", F.col("content_type").alias("_ct")
     ).cache()
@@ -91,83 +110,157 @@ def streaming_crawl(
         spark.createDataFrame([(s,) for s in seeds], "raw string")
         .select(canonicalize_udf("raw").alias("c"))
         .filter("c.valid")
-        .select(F.col("c.url_canonical").alias("url"), F.lit(0).alias("depth"))
+        .select(
+            F.col("c.url_canonical").alias("url"),
+            F.lit(0).alias("depth"),
+            F.lit(False).alias("requeued"),
+        )
         .distinct()
     )
-    seeds_df.write.mode("append").parquet(frontier_dir)
 
     stats = {"drains": 0, "n_fetched": 0}
     drain_fetch = {"n": 0}
 
-    def handle(batch_df: DataFrame, _bid: int) -> None:
-        from ..operators.dedup import _ckpt_tracked, _drop_ckpt
-
-        fresh = batch_df.filter("first_seen").select("url", "depth")
+    def handle(batch_df: DataFrame, bid: int) -> None:
+        marker = os.path.join(commits_dir, f"{bid}")
+        if os.path.exists(marker):
+            # replay of a batch whose writes fully landed before a
+            # crash: skip the writes — the idempotence half of
+            # exactly-once. The batch must still be CONSUMED in full so
+            # the stateful seen filter commits its state stores (Spark
+            # validates per-partition state commits in foreachBatch).
+            batch_df.count()
+            return
+        # requeued rows are over-budget deferrals from an earlier drain:
+        # already in the seen state (first_seen=false) but never fetched,
+        # so they bypass the first-seen gate exactly once per requeue
+        fresh = (
+            batch_df.filter("first_seen OR requeued")
+            .groupBy("url")
+            .agg(F.min("depth").alias("depth"))
+        )
         canon = fresh.select(
             "url", "depth", canonicalize_udf("url").alias("c")
         ).select("url", "depth", F.col("c.host").alias("host"))
-        pol = with_politeness(canon, robots, cfg)
-        allowed = pol.filter("allowed").select("url", "depth")
-        fetched = allowed.join(pages_side, "url").withColumn(
-            "ex", extract("url", "html", "_ct")
-        )
-        # ONE extract pass feeds both writes; TRACKED checkpoint so the
-        # blocks are freed after the writes — a long crawl runs many
-        # drains, and untracked localCheckpoints would accumulate
-        # executor storage for the loop's lifetime (DataFrame.unpersist
-        # is a no-op on checkpointed frames)
-        out, ckpt_ids = _ckpt_tracked(
-            fetched.select(
-                "url", "depth",
-                F.col("ex.text").alias("text"),
-                F.size("ex.links").alias("n_links"),
-                F.col("ex.links").alias("_links"),
-            )
-        )
+        # robots allow gate + per-host crawl-delay budget — the SAME
+        # politeness surface the batch engine enforces; pol feeds two
+        # branches (take + defer), so materialize it once
+        pol, pol_ids = _ckpt_tracked(with_politeness(canon, robots, cfg))
         try:
-            n = out.count()
-            drain_fetch["n"] += n
-            stats["n_fetched"] += n
-            out.drop("_links").write.mode("append").parquet(results_dir)
-            if max_depth > 0:
+            allowed = pol.filter("allowed")
+            # two-phase salted per-host rank (plans/wave.py:447-459):
+            # the salt caps any single partition at budget×salt_buckets
+            # rows for hot hosts before the exact rank runs. The
+            # streaming frontier carries no score column; score is
+            # depth-monotone (cfg.score_for_depth), so (depth asc, url
+            # asc) is the batch ordering restricted to this schema.
+            order = [F.asc("depth"), F.asc("url")]
+            salted = allowed.withColumn(
+                "_salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets))
+            )
+            w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+            survivors = (
+                salted.withColumn("_prank", F.row_number().over(w1))
+                .filter(F.col("_prank") <= F.col("budget"))
+                .drop("_salt", "_prank")
+            )
+            w2 = Window.partitionBy("host").orderBy(*order)
+            take = (
+                survivors.withColumn("_rank", F.row_number().over(w2))
+                .filter(F.col("_rank") <= F.col("budget"))
+                .select("url", "depth")
+            )
+            deferred = allowed.join(take.select("url"), "url", "left_anti").select(
+                "url", "depth", F.lit(True).alias("requeued")
+            )
+            fetched = take.join(pages_side, "url").withColumn(
+                "ex", extract("url", "html", "_ct")
+            )
+            # ONE extract pass feeds both writes; TRACKED checkpoint so
+            # the blocks are freed after the writes — a long crawl runs
+            # many drains, and untracked localCheckpoints would
+            # accumulate executor storage for the loop's lifetime
+            out, ckpt_ids = _ckpt_tracked(
+                fetched.select(
+                    "url", "depth",
+                    F.col("ex.text").alias("text"),
+                    F.size("ex.links").alias("n_links"),
+                    F.col("ex.links").alias("_links"),
+                )
+            )
+            try:
+                n = out.count()
+                out.drop("_links").write.mode("overwrite").parquet(
+                    os.path.join(results_dir, f"b{bid}")
+                )
                 discovered = (
-                    out.filter(F.col("depth") < max_depth)
-                    .select(F.explode("_links").alias("raw"), (F.col("depth") + 1).alias("depth"))
+                    out.filter(F.col("depth") < F.lit(max_depth))
+                    .select(
+                        F.explode("_links").alias("raw"),
+                        (F.col("depth") + 1).alias("depth"),
+                    )
                     .select(canonicalize_udf("raw").alias("c"), "depth")
                     .filter("c.valid")
                     .groupBy(F.col("c.url_canonical").alias("url"))
                     .agg(F.min("depth").alias("depth"))
+                    .withColumn("requeued", F.lit(False))
+                    if max_depth > 0
+                    else None
                 )
-                # the seen filter dedups against history; write even known
-                # urls — they cost one probe each next drain
-                discovered.write.mode("append").parquet(frontier_dir)
+                # the seen filter dedups discovered urls against
+                # history — known urls cost one probe each next drain
+                next_front = (
+                    deferred.unionByName(discovered)
+                    if discovered is not None
+                    else deferred
+                )
+                next_front.write.mode("overwrite").parquet(
+                    os.path.join(frontier_dir, f"b{bid}")
+                )
+                # both writes landed → stamp the commit marker; only a
+                # fully-committed batch is ever skipped on replay
+                with open(marker, "w"):
+                    pass
+                drain_fetch["n"] += n
+                stats["n_fetched"] += n
+            finally:
+                _drop_ckpt(out, ckpt_ids)
         finally:
-            _drop_ckpt(out, ckpt_ids)
+            _drop_ckpt(pol, pol_ids)
 
-    for _ in range(max_drains):
-        stream = spark.readStream.schema(FRONTIER_SCHEMA).parquet(frontier_dir)
-        if seen_filter == "bloom":
-            filtered = streaming_seen_filter(
-                stream, num_buckets=num_buckets, bits_per_bucket=bits_per_bucket
+    try:
+        seeds_df.write.mode("append").parquet(frontier_dir)
+        for _ in range(max_drains):
+            stream = (
+                spark.readStream.schema(FRONTIER_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(frontier_dir)
             )
-        else:
-            filtered = streaming_seen_filter_cuckoo(
-                stream, num_buckets=num_buckets, table_rows=table_rows
+            if seen_filter == "bloom":
+                filtered = streaming_seen_filter(
+                    stream, num_buckets=num_buckets, bits_per_bucket=bits_per_bucket
+                )
+            else:
+                filtered = streaming_seen_filter_cuckoo(
+                    stream, num_buckets=num_buckets, table_rows=table_rows
+                )
+            drain_fetch["n"] = 0
+            q = (
+                filtered.writeStream.foreachBatch(handle)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
             )
-        drain_fetch["n"] = 0
-        q = (
-            filtered.writeStream.foreachBatch(handle)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        q.stop()
-        stats["drains"] += 1
-        if drain_fetch["n"] == 0:
-            break
-    robots.unpersist()
-    pages_side.unpersist()
+            q.awaitTermination()
+            q.stop()
+            stats["drains"] += 1
+            if drain_fetch["n"] == 0:
+                break
+    finally:
+        # a failed micro-batch must not leak the session-lifetime
+        # caches (ADVICE r4: unpersist ran only on the success path)
+        robots.unpersist()
+        pages_side.unpersist()
     stats["results_dir"] = results_dir
     return stats

@@ -1,7 +1,10 @@
 """Streaming crawl frontier (streaming/crawl.py): the self-feeding
 availableNow drain loop must fetch EXACTLY the simulator's ok-set with
-byte-identical extracted text, honor robots deny rules and the depth
-bound, and resume from its checkpoint after an interrupted loop."""
+byte-identical extracted text, honor robots deny rules, per-host
+crawl-delay budgets and the depth bound, and resume from its
+checkpoint after an interrupted loop."""
+
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -12,6 +15,17 @@ from downloader_spark.sources.pagegen import generate_web_graph
 from downloader_spark.streaming.crawl import streaming_crawl
 
 MAX_DEPTH = 2
+
+# generous budgets → politeness never rations, only robots DENIES;
+# the reachable allowed set within max_depth is the spec
+GENEROUS = CrawlConfig(
+    wave_seconds=10**6, max_per_host_per_wave=10**6,
+    max_urls_per_wave=10**9, max_depth=MAX_DEPTH,
+)
+
+
+def _read_results(spark, results_dir):
+    return spark.read.option("recursiveFileLookup", "true").parquet(results_dir)
 
 
 @pytest.fixture(scope="module")
@@ -26,13 +40,7 @@ def web(spark):
 @pytest.fixture(scope="module")
 def sim_ok(web):
     _, page_map, seeds = web
-    # generous budgets → politeness never rations, only robots DENIES;
-    # the reachable allowed set within max_depth is the spec
-    cfg = CrawlConfig(
-        wave_seconds=10**6, max_per_host_per_wave=10**6,
-        max_urls_per_wave=10**9, max_depth=MAX_DEPTH,
-    )
-    sim = simulate_crawl(page_map, seeds, cfg, max_waves=MAX_DEPTH + 2)
+    sim = simulate_crawl(page_map, seeds, GENEROUS, max_waves=MAX_DEPTH + 2)
     return {u: sim.texts[u] for u, st in sim.statuses.items() if st == "ok"}
 
 
@@ -42,11 +50,10 @@ def test_streaming_crawl_matches_simulator(spark, tmp_path, web, sim_ok, mode):
     stats = streaming_crawl(
         spark, str(tmp_path / f"sc_{mode}"), pages_df, seeds,
         max_depth=MAX_DEPTH, seen_filter=mode,
-        max_links_per_page=CrawlConfig().max_links_per_page,
+        max_links_per_page=CrawlConfig().max_links_per_page, cfg=GENEROUS,
     )
     got = {
-        r["url"]: r["text"]
-        for r in spark.read.parquet(stats["results_dir"]).collect()
+        r["url"]: r["text"] for r in _read_results(spark, stats["results_dir"]).collect()
     }
     assert stats["n_fetched"] == len(got)  # no url fetched twice
     assert got == sim_ok, (
@@ -67,17 +74,85 @@ def test_streaming_crawl_resumes_from_checkpoint(spark, tmp_path, web, sim_ok):
     wd = str(tmp_path / "sc_resume")
     first = streaming_crawl(
         spark, wd, pages_df, seeds, max_depth=MAX_DEPTH, max_drains=1,
-        max_links_per_page=CrawlConfig().max_links_per_page,
+        max_links_per_page=CrawlConfig().max_links_per_page, cfg=GENEROUS,
     )
     assert 0 < first["n_fetched"] < len(sim_ok)  # interrupted mid-crawl
     second = streaming_crawl(
         spark, wd, pages_df, seeds, max_depth=MAX_DEPTH,
-        max_links_per_page=CrawlConfig().max_links_per_page,
+        max_links_per_page=CrawlConfig().max_links_per_page, cfg=GENEROUS,
     )
-    rows = spark.read.parquet(second["results_dir"]).collect()
+    rows = _read_results(spark, second["results_dir"]).collect()
     got = {r["url"]: r["text"] for r in rows}
     assert len(rows) == len(got), "a url was fetched twice across the restart"
     assert got == sim_ok
+
+
+def test_streaming_crawl_replayed_batch_is_idempotent(spark, tmp_path, web, sim_ok):
+    """foreachBatch is at-least-once: simulate a crash AFTER a batch's
+    writes landed but BEFORE the streaming checkpoint committed, by
+    deleting the checkpoint's commit record for the last batch. The
+    resumed loop replays that batch — the marker + per-batch overwrite
+    must keep the results free of duplicates (ADVICE r4: the appends
+    previously duplicated rows and double-counted n_fetched)."""
+    pages_df, _page_map, seeds = web
+    wd = str(tmp_path / "sc_replay")
+    streaming_crawl(
+        spark, wd, pages_df, seeds, max_depth=MAX_DEPTH, max_drains=1,
+        max_links_per_page=CrawlConfig().max_links_per_page, cfg=GENEROUS,
+    )
+    commits = os.path.join(wd, "ckpt", "commits")
+    last = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    os.remove(os.path.join(commits, last))  # checkpoint forgets batch N
+    crc = os.path.join(commits, f".{last}.crc")  # ChecksumFs sidecar —
+    if os.path.exists(crc):  # left behind, it blocks the re-commit rename
+        os.remove(crc)
+    second = streaming_crawl(
+        spark, wd, pages_df, seeds, max_depth=MAX_DEPTH,
+        max_links_per_page=CrawlConfig().max_links_per_page, cfg=GENEROUS,
+    )
+    rows = _read_results(spark, second["results_dir"]).collect()
+    got = {r["url"]: r["text"] for r in rows}
+    assert len(rows) == len(got), "replayed batch duplicated result rows"
+    assert got == sim_ok
+
+
+def test_streaming_crawl_enforces_host_budget(spark, tmp_path):
+    """20 seeds on ONE Crawl-delay-5 host with wave_seconds=30: the
+    per-host budget is exactly 6 urls per drain (the batch engine's
+    throttle-parity case) — every fetching drain takes 6 except the
+    final remainder, over-budget urls are requeued (never dropped), and
+    the full set is eventually fetched in simulator-identical order."""
+    n, host = 20, "slow.example"
+    cfg = CrawlConfig(wave_seconds=30)  # delay 5 → budget 30//5 = 6
+    rows = [
+        (f"http://{host}/robots.txt", b"User-agent: *\nCrawl-delay: 5\n", "text/plain")
+    ] + [
+        (
+            f"http://{host}/p/{i:03d}",
+            f"<html><body><p>slow host page {i} body words</p></body></html>".encode(),
+            "text/html",
+        )
+        for i in range(n)
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, content_type string")
+    page_map = {r[0]: (r[1], r[2]) for r in rows}
+    seeds = [f"http://{host}/p/{i:03d}" for i in range(n)]
+    stats = streaming_crawl(
+        spark, str(tmp_path / "thr"), pages, seeds, max_depth=0, cfg=cfg
+    )
+    sim = simulate_crawl(page_map, seeds, cfg, max_waves=10)
+    sim_texts = {u: sim.texts[u] for u, st in sim.statuses.items() if st == "ok"}
+    got = {
+        r["url"]: r["text"] for r in _read_results(spark, stats["results_dir"]).collect()
+    }
+    assert got == sim_texts and len(got) == n
+    # per-batch subdirectories expose the per-drain schedule
+    per_drain = []
+    for d in sorted(os.listdir(stats["results_dir"]), key=lambda s: int(s[1:])):
+        c = spark.read.parquet(os.path.join(stats["results_dir"], d)).count()
+        if c:
+            per_drain.append(c)
+    assert per_drain == [6, 6, 6, 2], per_drain
 
 
 def test_streaming_crawl_validates_mode(spark, tmp_path, web):
