@@ -191,6 +191,162 @@ def gopher_flags(text: Column) -> Column:
     )
 
 
+# Published Gopher repetition thresholds (Rae et al. 2021 §A1.1, Table
+# A1 — the within-document half of the rule-pack; drop_repeated_spans
+# is the cross-document complement). Fractions over the WHOLE document:
+# duplicate lines/paragraphs by occurrence and by character mass, and
+# the character mass covered by the single most-repeated word n-gram.
+GOPHER_REPETITION_THRESHOLDS = {
+    "max_dup_line_frac": 0.30,
+    "max_dup_para_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_dup_para_char_frac": 0.20,
+    "max_top_2gram_char_frac": 0.20,
+    "max_top_3gram_char_frac": 0.18,
+    "max_top_4gram_char_frac": 0.16,
+}
+
+REPETITION_FEATURES = [
+    "dup_line_frac",
+    "dup_para_frac",
+    "dup_line_char_frac",
+    "dup_para_char_frac",
+    "top_2gram_char_frac",
+    "top_3gram_char_frac",
+    "top_4gram_char_frac",
+]
+
+REPETITION_FLAGS = [
+    "dup_line_heavy",
+    "dup_para_heavy",
+    "dup_line_char_heavy",
+    "dup_para_char_heavy",
+    "top_2gram_heavy",
+    "top_3gram_heavy",
+    "top_4gram_heavy",
+]
+
+
+def _sum_lengths(arr: Column) -> Column:
+    """Σ len(element) over a string array — exact long arithmetic; the
+    lambdas reference only their own variables (no outer-expression
+    capture, so no per-element re-inline hazard)."""
+    return F.aggregate(
+        F.transform(arr, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def _max_run_cover(sorted_grams: Column) -> Column:
+    """max over REPEATED grams g (count ≥ 2) of count(g)·len(g),
+    computed as ONE aggregate pass over the SORTED gram array (equal
+    grams are adjacent; a run's cover grows monotonically, so updating
+    the best at every step ≥ 2 equals the per-distinct-gram maximum).
+    Grams occurring once contribute 0 — otherwise the single LONGEST
+    n-gram's own length trips the threshold on short documents, which
+    is not what the published rule measures (the public
+    implementations guard count > 1 the same way). The accumulator
+    lambda touches only (acc, x) — safe from the inline-HOF recompute
+    hazard; the collection argument is evaluated once regardless."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        cover = F.when(run >= 2, run * F.length(x).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], cover).alias("best"),
+        )
+
+    return F.aggregate(sorted_grams, zero, step, lambda acc: acc["best"])
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """Sliding word n-grams (space-joined) over a MATERIALIZED token
+    array — same split-once contract as fingerprint64_of_words: the
+    lambda body references ``toks``, which must be a plain column
+    attribute, never an inline split expression."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_repetition(df, text_col: str = "text"):
+    """Append the Gopher repetition features + per-rule flags + the
+    composite ``repetition_pass`` to ``df`` — a DataFrame-level API
+    (unlike the pure-column content pack) because the token/line/
+    paragraph arrays must be MATERIALIZED in their own projection
+    before any HOF lambda references them (CollapseProject keeps
+    multiply-referenced non-cheap expressions separate; an inline
+    split would re-evaluate per array element — the measured 3.7-14×
+    class). All ratios rounded to 6 dp; numerators are exact integer
+    sums, so the DuckDB oracle recomputes them bit-equal.
+
+    Paragraphs split on a blank line (\\n\\n); lines on \\n. Duplicate
+    fractions count occurrences beyond the first (total − distinct);
+    char fractions weight those occurrences by length over total text
+    chars. Top-n-gram char fraction is count·len of the most
+    character-covering REPEATED n-gram (count ≥ 2; see _max_run_cover)
+    over total text chars (sliding grams overlap, so a pathological
+    doc can exceed 1 — thresholds only test the upper side, as in the
+    published rule-set)."""
+    t = F.col(text_col)
+    base = df.withColumn("_rl", F.split(t, "\n")).withColumn(
+        "_rp", F.split(t, "\n\n")
+    ).withColumn("_rt", _tokens(t))
+    nchars = F.greatest(F.length(t), F.lit(1)).cast("double")
+    lines, paras, toks = F.col("_rl"), F.col("_rp"), F.col("_rt")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_paras = F.greatest(F.size(paras), F.lit(1)).cast("double")
+    feats = base.withColumns(
+        {
+            "dup_line_frac": F.round(
+                (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines, 6
+            ),
+            "dup_para_frac": F.round(
+                (F.size(paras) - F.size(F.array_distinct(paras))) / n_paras, 6
+            ),
+            "dup_line_char_frac": F.round(
+                (_sum_lengths(lines) - _sum_lengths(F.array_distinct(lines))) / nchars, 6
+            ),
+            "dup_para_char_frac": F.round(
+                (_sum_lengths(paras) - _sum_lengths(F.array_distinct(paras))) / nchars, 6
+            ),
+            "top_2gram_char_frac": F.round(
+                _max_run_cover(F.array_sort(_word_grams(toks, 2))) / nchars, 6
+            ),
+            "top_3gram_char_frac": F.round(
+                _max_run_cover(F.array_sort(_word_grams(toks, 3))) / nchars, 6
+            ),
+            "top_4gram_char_frac": F.round(
+                _max_run_cover(F.array_sort(_word_grams(toks, 4))) / nchars, 6
+            ),
+        }
+    ).drop("_rl", "_rp", "_rt")
+    th = GOPHER_REPETITION_THRESHOLDS
+    flags = {
+        flag: F.col(feat) > F.lit(th[f"max_{feat}"])
+        for feat, flag in zip(REPETITION_FEATURES, REPETITION_FLAGS)
+    }
+    out = feats.withColumns(flags)
+    rep_fail = None
+    for flag in REPETITION_FLAGS:
+        rep_fail = F.col(flag) if rep_fail is None else (rep_fail | F.col(flag))
+    return out.withColumn("repetition_pass", ~rep_fail)
+
+
 def tokens_of(text: Column) -> Column:
     """Whitespace token array (lower, trim, split on \\s+) — the split
     fingerprint64_of_words expects. Materialize in its OWN projection

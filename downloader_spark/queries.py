@@ -129,13 +129,31 @@ def q_quality_score(spark, sf_dir):
         FROM documents WHERE doc_id % 40 = 0
       UNION ALL SELECT doc_id + 4000000, regexp_replace(text, '[a-z]', '7', 'g')
         FROM documents WHERE doc_id % 25 = 0
+      UNION ALL SELECT doc_id + 5000000,
+        repeat(substr(text, 1, 50) || chr(10), 7) || substr(text, 1, 50)
+        FROM documents WHERE doc_id % 35 = 0
+      UNION ALL SELECT doc_id + 6000000,
+        repeat(substr(text, 1, 80) || chr(10) || chr(10), 3) || substr(text, 1, 80)
+        FROM documents WHERE doc_id % 45 = 0
+      UNION ALL SELECT doc_id + 7000000, repeat(substr(text, 1, 12) || ' ', 40)
+        FROM documents WHERE doc_id % 50 = 0
     ), base AS (
       SELECT doc_id, text,
         split(text, chr(10)) AS lines,
+        split(text, chr(10) || chr(10)) AS paras,
         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
         CASE WHEN trim(text) = '' THEN 0
              ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_words
       FROM seeded
+    ), topg AS (
+      SELECT doc_id, n, MAX(c * length(g)) AS cover FROM (
+        SELECT doc_id, n, g, COUNT(*) AS c FROM (
+          SELECT doc_id, ns.n AS n,
+            unnest(list_transform(range(1, greatest(len(w) - ns.n + 2, 1)),
+                   i -> array_to_string(list_slice(w, i, i + ns.n - 1), ' '))) AS g
+          FROM base, (SELECT unnest([2, 3, 4]) AS n) ns
+        ) GROUP BY doc_id, n, g
+      ) WHERE c >= 2 GROUP BY doc_id, n
     ), feat AS (
       SELECT doc_id, n_words,
         ROUND(list_sum(list_transform(w, x -> len(x))) * 1.0
@@ -151,8 +169,27 @@ def q_quality_score(spark, sf_dir):
               + (length(text) - length(replace(text, '…', ''))) )
               / greatest(n_words, 1), 6) AS symbol_word_ratio,
         ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
-              / greatest(n_words, 1), 6) AS alpha_word_ratio
+              / greatest(n_words, 1), 6) AS alpha_word_ratio,
+        ROUND((len(lines) - len(list_distinct(lines))) * 1.0
+              / greatest(len(lines), 1), 6) AS dup_line_frac,
+        ROUND((len(paras) - len(list_distinct(paras))) * 1.0
+              / greatest(len(paras), 1), 6) AS dup_para_frac,
+        ROUND((list_sum(list_transform(lines, x -> len(x)))
+              - list_sum(list_transform(list_distinct(lines), x -> len(x)))) * 1.0
+              / greatest(length(text), 1), 6) AS dup_line_char_frac,
+        ROUND((list_sum(list_transform(paras, x -> len(x)))
+              - list_sum(list_transform(list_distinct(paras), x -> len(x)))) * 1.0
+              / greatest(length(text), 1), 6) AS dup_para_char_frac,
+        ROUND(COALESCE(t2.cover, 0) * 1.0 / greatest(length(text), 1), 6)
+              AS top_2gram_char_frac,
+        ROUND(COALESCE(t3.cover, 0) * 1.0 / greatest(length(text), 1), 6)
+              AS top_3gram_char_frac,
+        ROUND(COALESCE(t4.cover, 0) * 1.0 / greatest(length(text), 1), 6)
+              AS top_4gram_char_frac
       FROM base
+      LEFT JOIN (SELECT doc_id, cover FROM topg WHERE n = 2) t2 USING (doc_id)
+      LEFT JOIN (SELECT doc_id, cover FROM topg WHERE n = 3) t3 USING (doc_id)
+      LEFT JOIN (SELECT doc_id, cover FROM topg WHERE n = 4) t4 USING (doc_id)
     )
     SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
            bullet_line_ratio, ellipsis_line_ratio, symbol_word_ratio,
@@ -167,20 +204,45 @@ def q_quality_score(spark, sf_dir):
            NOT (n_words < 50 OR n_words > 100000 OR mean_word_len < 3.0
                 OR mean_word_len > 10.0 OR symbol_word_ratio > 0.1
                 OR bullet_line_ratio > 0.9 OR ellipsis_line_ratio > 0.3
-                OR alpha_word_ratio < 0.8) AS gopher_pass
+                OR alpha_word_ratio < 0.8) AS gopher_pass,
+           dup_line_frac, dup_para_frac, dup_line_char_frac,
+           dup_para_char_frac, top_2gram_char_frac, top_3gram_char_frac,
+           top_4gram_char_frac,
+           (dup_line_frac > 0.30) AS dup_line_heavy,
+           (dup_para_frac > 0.30) AS dup_para_heavy,
+           (dup_line_char_frac > 0.20) AS dup_line_char_heavy,
+           (dup_para_char_frac > 0.20) AS dup_para_char_heavy,
+           (top_2gram_char_frac > 0.20) AS top_2gram_heavy,
+           (top_3gram_char_frac > 0.18) AS top_3gram_heavy,
+           (top_4gram_char_frac > 0.16) AS top_4gram_heavy,
+           NOT (dup_line_frac > 0.30 OR dup_para_frac > 0.30
+                OR dup_line_char_frac > 0.20 OR dup_para_char_frac > 0.20
+                OR top_2gram_char_frac > 0.20 OR top_3gram_char_frac > 0.18
+                OR top_4gram_char_frac > 0.16) AS repetition_pass
     FROM feat ORDER BY doc_id
     """,
 )
 def q_gopher_quality(spark, sf_dir):
-    """Gopher/MassiveText quality rule-pack (VERDICT r3 #5): published
-    thresholds over native columns — word count, mean word length,
-    bullet/ellipsis line ratios, symbol-to-word ratio, alpha-word
-    fraction, plus per-rule flags and the composite gopher_pass. The
-    corpus is clean word soup, so four pathological doc families are
-    SEEDED from the real text (symbol flood, bullet explosion,
-    ellipsis-terminated lines, digits-for-letters) — every rule fires
-    on its family and the oracle recomputes all features + flags."""
-    from .functions.text import gopher_features, gopher_flags
+    """Gopher/MassiveText quality rule-pack (VERDICT r3 #5 content
+    rules + VERDICT r4 #1 REPETITION rules): published thresholds over
+    native columns — word count, mean word length, bullet/ellipsis
+    line ratios, symbol-to-word ratio, alpha-word fraction (Rae et al.
+    §A1.1 content section), PLUS duplicate-line/paragraph fractions (by
+    occurrence and character mass) and top-{2,3,4}-gram character
+    fractions (§A1.1 repetition section, Table A1 thresholds) — with
+    per-rule flags and the composite gopher_pass / repetition_pass.
+    The corpus is clean word soup, so SEVEN pathological doc families
+    are SEEDED from the real text (symbol flood, bullet explosion,
+    ellipsis-terminated lines, digits-for-letters, repeated lines,
+    repeated paragraphs, n-gram flood) — every rule fires on its
+    family and the oracle recomputes all features + flags."""
+    from .functions.text import (
+        REPETITION_FEATURES,
+        REPETITION_FLAGS,
+        gopher_features,
+        gopher_flags,
+        with_repetition,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
@@ -215,10 +277,37 @@ def q_gopher_quality(spark, sf_dir):
                 F.regexp_replace("text", "[a-z]", "7").alias("text"),
             )
         )
+        .unionByName(
+            docs.filter(d % 35 == 0).select(
+                (d + 5000000).alias("doc_id"),
+                F.concat(
+                    F.repeat(F.concat(F.substring("text", 1, 50), F.lit("\n")), 7),
+                    F.substring("text", 1, 50),
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 45 == 0).select(
+                (d + 6000000).alias("doc_id"),
+                F.concat(
+                    F.repeat(F.concat(F.substring("text", 1, 80), F.lit("\n\n")), 3),
+                    F.substring("text", 1, 80),
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 50 == 0).select(
+                (d + 7000000).alias("doc_id"),
+                F.repeat(F.concat(F.substring("text", 1, 12), F.lit(" ")), 40).alias(
+                    "text"
+                ),
+            )
+        )
     )
     feats = gopher_features(F.col("text"))
     return (
-        seeded.select(
+        with_repetition(seeded)
+        .select(
             "doc_id",
             *[
                 feats[k].alias(k)
@@ -229,11 +318,17 @@ def q_gopher_quality(spark, sf_dir):
                 )
             ],
             gopher_flags(F.col("text")).alias("_fl"),
+            *REPETITION_FEATURES,
+            *REPETITION_FLAGS,
+            "repetition_pass",
         )
         .select(
             "doc_id", "n_words", "mean_word_len", "bullet_line_ratio",
             "ellipsis_line_ratio", "symbol_word_ratio", "alpha_word_ratio",
             "_fl.*",
+            *REPETITION_FEATURES,
+            *REPETITION_FLAGS,
+            "repetition_pass",
         )
         .orderBy("doc_id")
     )
@@ -1396,16 +1491,37 @@ def q_drop_repeated_spans(spark, sf_dir):
         FROM documents WHERE doc_id % 30 = 0
       UNION ALL SELECT doc_id + 4000000, regexp_replace(text, '[a-z]', '7', 'g')
         FROM documents WHERE doc_id % 25 = 0
+      UNION ALL SELECT doc_id + 6000000,
+        repeat(substr(text, 1, 50) || chr(10), 7) || substr(text, 1, 50)
+        FROM documents WHERE doc_id % 35 = 0
     ), feat AS (
       SELECT doc_id, text,
         split(text, chr(10)) AS lines,
+        split(text, chr(10) || chr(10)) AS paras,
         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
         CASE WHEN trim(text) = '' THEN 0
              ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_words
       FROM corpus
+    ), top2 AS (
+      SELECT doc_id, MAX(c * length(g)) AS cover FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, greatest(len(w) - 2 + 2, 1)),
+                   i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+          FROM feat
+        ) GROUP BY doc_id, g
+      ) WHERE c >= 2 GROUP BY doc_id
     ), gated AS (
       SELECT doc_id, text FROM feat
+      LEFT JOIN top2 USING (doc_id)
       WHERE NOT (
+        ROUND((len(lines) - len(list_distinct(lines))) * 1.0
+              / greatest(len(lines), 1), 6) > 0.30
+        OR ROUND((len(paras) - len(list_distinct(paras))) * 1.0
+              / greatest(len(paras), 1), 6) > 0.30
+        OR ROUND(COALESCE(top2.cover, 0) * 1.0
+              / greatest(length(text), 1), 6) > 0.20
+      ) AND NOT (
         ROUND(list_sum(list_transform(w, x -> len(x))) * 1.0
               / greatest(len(w), 1), 6) < 3.0
         OR ROUND(list_sum(list_transform(w, x -> len(x))) * 1.0
@@ -1465,17 +1581,21 @@ def q_drop_repeated_spans(spark, sf_dir):
 def q_webtext_pipeline(spark, sf_dir):
     """END-TO-END training-data pipeline composition — the round-4
     operators chained the way a real corpus run chains them:
-    (1) Gopher gate (content rules: word-length band, symbol/bullet/
-    ellipsis ratios, alpha fraction — the length gate is deliberately
-    not applied: the synthetic docs are all short), which removes the
-    seeded pathological families; (2) drop_repeated_spans over the
+    (1) Gopher gate — content rules (word-length band, symbol/bullet/
+    ellipsis ratios, alpha fraction; the length gate is deliberately
+    not applied: the synthetic docs are all short) PLUS the r5
+    repetition rules (duplicate-line/paragraph fraction and top-2-gram
+    character fraction; the top-3/4-gram rules are skipped for the
+    same shortness reason — a single repeated 4-gram trips them on a
+    ~50-word doc) — removing the seeded pathological families;
+    (2) drop_repeated_spans over the
     survivors (boilerplate line removal, doc-freq computed POST-gate);
     (3) exact dedup on the CLEANED text (boilerplate removal first
     turns near-identical docs identical — the order matters and the
     seeded +5M verbatim copies prove it: they merge into their
     originals, n_exact_dups=2); final token count per survivor. One
     oracle recomputes the whole chain char-exact."""
-    from .functions.text import gopher_flags
+    from .functions.text import gopher_flags, with_repetition
     from .operators.dedup import drop_repeated_spans
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1519,14 +1639,25 @@ def q_webtext_pipeline(spark, sf_dir):
                 F.regexp_replace("text", "[a-z]", "7").alias("text"),
             )
         )
+        .unionByName(
+            docs.filter(d % 35 == 0).select(
+                (d + 6000000).alias("doc_id"),
+                F.concat(
+                    F.repeat(F.concat(F.substring("text", 1, 50), F.lit("\n")), 7),
+                    F.substring("text", 1, 50),
+                ).alias("text"),
+            )
+        )
     )
     fl = gopher_flags(F.col("text"))
     gated = (
-        corpus.withColumn("_fl", fl)
+        with_repetition(corpus.withColumn("_fl", fl))
         .filter(
             ~F.col("_fl.word_len_out") & ~F.col("_fl.symbol_heavy")
             & ~F.col("_fl.bullet_heavy") & ~F.col("_fl.ellipsis_heavy")
             & ~F.col("_fl.low_alpha")
+            & ~F.col("dup_line_heavy") & ~F.col("dup_para_heavy")
+            & ~F.col("top_2gram_heavy")
         )
         .select("doc_id", "text")
     )

@@ -327,6 +327,70 @@ def test_gopher_flags_pathological_docs(spark):
     assert got[8]["low_alpha"]
 
 
+def test_gopher_repetition_features_and_flags(spark):
+    """Gopher §A1.1 repetition rules (Rae et al., Table A1): each rule
+    fires on a crafted doc violating exactly that family, values match
+    a brute-force Python recompute, and varied prose passes all."""
+    from collections import Counter
+
+    from downloader_spark.functions.text import (
+        REPETITION_FEATURES,
+        with_repetition,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seven wild "
+        "geese circle above a quiet meadow near the old stone bridge"
+    )
+    rows = [
+        (1, prose),
+        (2, "dup line here\n" * 4 + "unique tail line"),          # dup lines
+        (3, ("para one body\n\n" * 3) + "distinct closing para"),  # dup paras
+        (4, "spam ham " * 30),                                     # top-2-gram
+        (5, ""),                                                   # empty
+        (6, "one"),                                                # < n words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in with_repetition(df).collect()}
+
+    def brute(text):
+        import re
+
+        lines, paras = text.split("\n"), text.split("\n\n")
+        toks = re.split(r"\s+", text.lower().strip(" "))
+        nch = max(len(text), 1)
+        out = {
+            "dup_line_frac": round((len(lines) - len(set(lines))) / max(len(lines), 1), 6),
+            "dup_para_frac": round((len(paras) - len(set(paras))) / max(len(paras), 1), 6),
+            "dup_line_char_frac": round(
+                (sum(map(len, lines)) - sum(map(len, set(lines)))) / nch, 6
+            ),
+            "dup_para_char_frac": round(
+                (sum(map(len, paras)) - sum(map(len, set(paras)))) / nch, 6
+            ),
+        }
+        for n in (2, 3, 4):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            out[f"top_{n}gram_char_frac"] = round(
+                max((cnt * len(g) for g, cnt in c.items() if cnt >= 2), default=0)
+                / nch, 6,
+            )
+        return out
+
+    for doc_id, text in rows:
+        exp = brute(text)
+        for k in REPETITION_FEATURES:
+            assert abs(got[doc_id][k] - exp[k]) < 1e-9, (doc_id, k, got[doc_id][k], exp[k])
+    assert got[1]["repetition_pass"]
+    assert got[2]["dup_line_heavy"] and got[2]["dup_line_char_heavy"]
+    assert got[3]["dup_para_heavy"] and got[3]["dup_para_char_heavy"]
+    assert got[4]["top_2gram_heavy"] and got[4]["top_3gram_heavy"]
+    for d in (2, 3, 4):
+        assert not got[d]["repetition_pass"]
+    assert got[5]["repetition_pass"] and got[6]["repetition_pass"]  # degenerate docs: no rule fires
+
+
 def test_chunk_token_windows_edges(spark):
     """Window coverage, 50% overlap, short tails, empty doc → one
     empty window; window text is the normalized token join."""
