@@ -8,8 +8,10 @@ rank), URL-seen set, per-url status, and byte-identical extracted text.
 Tested in tests/test_crawl_parity.py.
 
 Shares the exact row functions with the Spark path — extract_page,
-canonicalize_url, parse_robots, is_path_allowed, cfg.budget_for_delay —
-so any divergence is a WAVE-LOGIC bug, never a row-function one.
+canonicalize_url, parse_robots, is_path_allowed, cfg.budget_for_delay,
+and (when cfg.pagerank_every > 0) pagerank_fixedpoint_py, the integer
+fixed-point PageRank that matches the Spark operator bit-exact — so
+any divergence is a WAVE-LOGIC bug, never a row-function one.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from dataclasses import dataclass, field
 
 from ..functions.urlnorm import canonicalize_url
 from ..htmlx.convert import extract_page
+from ..operators.graph import pagerank_fixedpoint_py
 from ..plans.crawlconfig import CrawlConfig
 from ..plans.politeness import is_path_allowed, parse_robots
 
@@ -66,9 +69,22 @@ def simulate_crawl(
         if c.url not in frontier:
             frontier[c.url] = [c.host, 0, cfg.score_base, 0, hdrs]
 
+    # rank-informed priority (cfg.pagerank_every): edges accumulate from
+    # every fetched page's valid canonical links; ranks refresh on the
+    # engine's schedule and stay deliberately stale between refreshes
+    edges: set[tuple[str, str]] = set()
+    pr: dict[str, int] = {}
+
     for wave in range(1, max_waves + 1):
         if not frontier:
             break
+        if (
+            cfg.pagerank_every
+            and wave > 1
+            and (wave - 1) % cfg.pagerank_every == 0
+            and edges
+        ):
+            pr = pagerank_fixedpoint_py(edges, iters=cfg.pagerank_iters)
         counts = {
             "wave": wave,
             "n_frontier_in": len(frontier),
@@ -100,18 +116,19 @@ def simulate_crawl(
         for url, (host, _d, _s, _a, _h) in allowed.items():
             by_host.setdefault(host, []).append(url)
 
+        def sel_key(u: str) -> tuple:
+            base = (-allowed[u][2], allowed[u][1], u)  # score desc, depth, url
+            return ((-pr.get(u, 0),) + base) if cfg.pagerank_every else base
+
         selected: list[tuple[str, int]] = []  # (url, rank)
         for host in by_host:
             delay, _ = robots.get(host, (None, []))
             budget = cfg.budget_for_delay(delay)
-            cand = sorted(
-                by_host[host],
-                key=lambda u: (-allowed[u][2], allowed[u][1], u),
-            )
+            cand = sorted(by_host[host], key=sel_key)
             for rank, url in enumerate(cand[:budget], start=1):
                 selected.append((url, rank))
         if cfg.max_urls_per_wave is not None:
-            selected.sort(key=lambda ur: (-allowed[ur[0]][2], allowed[ur[0]][1], ur[0]))
+            selected.sort(key=lambda ur: sel_key(ur[0]))
             selected = selected[: cfg.max_urls_per_wave]
         for url, rank in selected:
             res.schedule.append((wave, allowed[url][0], rank, url))
@@ -146,6 +163,13 @@ def simulate_crawl(
             res.texts[url] = ex.text
             res.seen.add(url)
             counts["n_ok"] += 1
+            if cfg.pagerank_every:
+                # mirror the engine's links table: EVERY valid canonical
+                # link of a fetched page, regardless of the depth bound
+                for link in ex.links:
+                    c = canonicalize_url(link)
+                    if c.valid:
+                        edges.add((url, c.url))
             if depth + 1 <= cfg.max_depth:
                 for link in ex.links:
                     c = canonicalize_url(link)

@@ -97,4 +97,39 @@ def pagerank_fixedpoint(
     finally:
         _drop_ckpt(nodes, node_ids)
         _drop_ckpt(outdeg, deg_ids)
+    # the final ranks checkpoint is the caller's to free once consumed
+    # (operators.dedup.release_result) — repeated calls from a crawl
+    # loop would otherwise pin one checkpoint per refresh (ADVICE r4
+    # class)
+    ranks._ckpt_ids = prev_ids
+    return ranks
+
+
+def pagerank_fixedpoint_py(
+    edges: set[tuple] | list[tuple],
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> dict:
+    """Single-node mirror of ``pagerank_fixedpoint`` over an in-memory
+    edge set — EXACTLY the same integer arithmetic (floor divisions in
+    the same order), so the two produce identical rank_micro values by
+    construction. Used by crawl/simulator.py when rank-informed
+    frontier priority is enabled (CrawlConfig.pagerank_every) and by
+    the parity tests."""
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    n = len(nodes)
+    if n == 0:
+        raise ValueError("pagerank_fixedpoint_py: edges is empty (no nodes to rank)")
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (100 - damping_pct) * SCALE // (100 * n)
+    ranks = {u: SCALE // n for u in nodes}
+    for _ in range(iters):
+        contrib: dict = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + ranks[s] // outdeg[s]
+        ranks = {
+            u: base + (damping_pct * contrib.get(u, 0)) // 100 for u in nodes
+        }
     return ranks

@@ -69,6 +69,15 @@ class CrawlConfig:
     bloom_min_seen: int = 100_000
     seen_compact_every: int = 16  # compact the append-only seen table
     snapshot_keep_last: int = 1000  # TTL analog (T8)
+    # rank-informed frontier priority (VERDICT r4 #3): every k waves,
+    # run integer fixed-point PageRank (operators/graph.py) over the
+    # accumulated link graph and rank the frontier by
+    # (rank_micro desc, score desc, depth asc, url asc). 0 = off (pure
+    # (score, depth, url) ordering — the default, and the reference's
+    # RequestPriority analog). The simulator mirrors the same integer
+    # ranks (pagerank_fixedpoint_py), so parity holds by construction.
+    pagerank_every: int = 0
+    pagerank_iters: int = 3
 
     def __post_init__(self) -> None:
         if self.bloom_probe not in ("auto", "broadcast", "cogroup"):
@@ -84,6 +93,11 @@ class CrawlConfig:
             )
         if self.cuckoo_table_rows & (self.cuckoo_table_rows - 1):
             raise ValueError("cuckoo_table_rows must be a power of two")
+        if self.pagerank_every < 0 or self.pagerank_iters < 1:
+            raise ValueError(
+                "pagerank_every must be >= 0 (0 disables) and "
+                "pagerank_iters >= 1"
+            )
 
     def bloom_bitmap_bytes(self) -> int:
         return self.bloom_num_buckets * self.bloom_bits_per_bucket // 8

@@ -241,7 +241,7 @@ class CrawlEngine:
         immutable, so rollback is just pointer surgery)."""
         last_complete = self.next_wave - 1
         dropped = {}
-        for table in ("results", "seen", "bloom", "cuckoo", "frontier"):
+        for table in ("results", "seen", "bloom", "cuckoo", "frontier", "links", "ranks"):
             d = self.wh.rollback_above(table, last_complete)
             if d:
                 dropped[table] = d
@@ -288,6 +288,57 @@ class CrawlEngine:
         live = self._live_seen_snaps()
         if len(live) < len(snaps):
             self.wh.expire_snapshots("seen", keep_last=len(live))
+
+    # -- rank-informed frontier priority (VERDICT r4 #3) ----------------------
+    def _read_union(self, table: str) -> DataFrame:
+        """Union of every snapshot of an append-only table."""
+        snaps = self.wh.snapshots(table)
+        dfs = [self.wh.read(self.spark, table, s["id"]) for s in snaps]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _refresh_ranks(self, wave: int) -> None:
+        """Run integer fixed-point PageRank (operators/graph.py) over
+        the accumulated link graph and commit a 'ranks' snapshot — the
+        crawl-prioritization signal the frontier rank consumes below.
+        Called every cfg.pagerank_every waves; between refreshes the
+        latest snapshot is read (deliberately stale — rank freshness is
+        a cost knob, not a correctness surface, and the simulator
+        mirrors the same refresh schedule). Skipped until any links
+        exist. Cost: one join+agg per iteration over (url, long) rows —
+        O(edges), never O(pages)."""
+        from ..operators.dedup import release_result
+        from ..operators.graph import pagerank_fixedpoint
+
+        snaps = self.wh.snapshots("links")
+        if not snaps or sum(s["n_rows"] for s in snaps) == 0:
+            return
+        ranks = pagerank_fixedpoint(
+            self._read_union("links"), src="src", dst="dst",
+            iters=self.cfg.pagerank_iters,
+        )
+        self.wh.commit(
+            ranks.select(F.col("node").alias("url"), "rank_micro"),
+            "ranks", wave=wave,
+        )
+        release_result(ranks)
+
+    def _with_rank_score(self, unseen: DataFrame) -> DataFrame:
+        """Left-join the latest ranks snapshot onto the frontier as
+        ``_pr`` (0 for unranked urls). The join shuffles on url — the
+        same key the seen anti-join just used, so AQE co-locates it;
+        the ranks payload is (url, long)."""
+        snaps = self.wh.snapshots("ranks")
+        if not snaps:
+            return unseen.withColumn("_pr", F.lit(0).cast("long"))
+        ranks = self.wh.read(self.spark, "ranks")
+        return (
+            unseen.join(ranks, "url", "left")
+            .withColumn("_pr", F.coalesce(F.col("rank_micro"), F.lit(0).cast("long")))
+            .drop("rank_micro")
+        )
 
     def _bloom_geometry(self) -> dict:
         cfg = self.cfg
@@ -421,6 +472,12 @@ class CrawlEngine:
         n_frontier_in = wh.snapshots("frontier")[-1]["n_rows"]
         robots = wh.read(spark, "robots")
 
+        # 0. (opt-in) refresh the PageRank signal every k waves from the
+        #    accumulated link graph; committed BEFORE any other wave-k
+        #    commit so recovery rolls it back with the rest
+        if cfg.pagerank_every and wave > 1 and (wave - 1) % cfg.pagerank_every == 0:
+            self._refresh_ranks(wave)
+
         # 1+2. URL-seen filter (Bloom prefilter + exact anti-join for the
         #    maybes) THEN politeness (robots allow/deny + per-host
         #    budget), persisted and materialized as ONE relation: every
@@ -434,6 +491,8 @@ class CrawlEngine:
         #    first job that runs through it (extracted.count), saving
         #    one full Spark job per wave of pure fixed overhead.
         unseen = self._filter_unseen(frontier)
+        if cfg.pagerank_every:
+            unseen = self._with_rank_score(unseen)
         obs_unseen = Observation(f"unseen-{wave}")
         pol = (
             with_politeness(unseen, robots, cfg)
@@ -443,8 +502,12 @@ class CrawlEngine:
         denied = pol.filter(~F.col("allowed"))
         allowed = pol.filter("allowed")
 
-        # 3. two-phase priority rank (salt caps hot-host partitions)
-        order = [F.desc("score"), F.asc("depth"), F.asc("url")]
+        # 3. two-phase priority rank (salt caps hot-host partitions);
+        #    with pagerank enabled the link-graph rank leads the order —
+        #    the simulator applies the identical integer ranks
+        order = ([F.desc("_pr")] if cfg.pagerank_every else []) + [
+            F.desc("score"), F.asc("depth"), F.asc("url")
+        ]
         salted = allowed.withColumn(
             "_salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets))
         )
@@ -462,7 +525,8 @@ class CrawlEngine:
             # politeness-selected set (TakeOrdered — no full sort);
             # cut rows fall into `deferred` automatically
             selected = selected.orderBy(*order).limit(cfg.max_urls_per_wave)
-        selected = selected.persist()
+        # _pr is consumed by the ordering above; drop is a no-op when absent
+        selected = selected.drop("_pr").persist()
 
         # 4. fetch = join pages ONCE (S1 stand-in); oversized payloads
         #    are MARKED as data and the extract UDF receives NULL html
@@ -640,6 +704,21 @@ class CrawlEngine:
             .unionByName(failed.select("url"))
             .unionByName(too_large.select("url"))
         )
+
+        # (opt-in) append this wave's link edges — the PageRank input.
+        # DISTINCT (src, dst): a url is fetched once ever (seen set), so
+        # per-wave distinct ⇒ globally distinct; edges carry NO payload
+        # beyond two urls and the table is only read every
+        # cfg.pagerank_every waves.
+        if cfg.pagerank_every:
+            links_df = (
+                ok.select(F.col("url").alias("src"), F.explode("links").alias("raw"))
+                .withColumn("c", canonicalize_udf("raw"))
+                .filter("c.valid")
+                .select("src", F.col("c.url_canonical").alias("dst"))
+                .distinct()
+            )
+            wh.commit(links_df, "links", wave=wave)
         obs_disc = Observation(f"disc-{wave}")
         discovered_new = (
             self._filter_unseen(discovered)  # pre-wave snapshots

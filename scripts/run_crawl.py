@@ -37,6 +37,9 @@ def main() -> None:
                     help="approximate seen-filter backend (cuckoo = deletable)")
     ap.add_argument("--bloom-probe", choices=["auto", "broadcast", "cogroup"],
                     default="auto", help="bloom probe mode (auto picks by geometry)")
+    ap.add_argument("--pagerank-every", type=int, default=0,
+                    help="refresh link-graph PageRank every k waves and rank "
+                         "the frontier by it (0 = off)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,6 +62,7 @@ def main() -> None:
     cfg = CrawlConfig(
         wave_seconds=args.wave_seconds, max_depth=args.max_depth,
         seen_filter=args.seen_filter, bloom_probe=args.bloom_probe,
+        pagerank_every=args.pagerank_every,
     )
     eng = CrawlEngine(spark, args.warehouse, pages, cfg)
 
