@@ -1,0 +1,209 @@
+"""Deterministic byte-pair-encoding tokenizer (Sennrich et al. 2016,
+the public BPE algorithm; GPT-2-style rank-ordered merges) — VERDICT
+r4 #5: training-data budgets are stated in real subword tokens, not
+chars/4 heuristics, so `token_counts`/`token_windows` need a tokenizer
+whose counts an external engine can AUDIT.
+
+Pure stdlib; character-level (≡ byte-level on the ASCII corpora the
+fixtures generate — a non-ASCII char is one atomic symbol rather than
+2-4 byte symbols, which keeps the DuckDB oracle's substr() arithmetic
+correct, since SQL strings index by codepoint, not byte).
+
+Determinism contract (what the oracle pins):
+- training: word frequencies from whitespace-collapsed lowercased
+  text; each merge step picks the most frequent adjacent pair,
+  ties broken by lexicographically smallest (a, b); stops early when
+  the best pair occurs < 2 times.
+- encoding: repeatedly apply the lowest-rank merge present in the
+  word, replacing occurrences left-to-right. Because any merge whose
+  parts include a merged token necessarily has a LATER rank, merging
+  one occurrence at a time (the SQL oracle) and all occurrences per
+  scan (this module) produce identical tokenizations.
+
+The Spark path is an Arrow-batched pandas UDF with a per-batch word
+cache — encoding cost is O(distinct words), not O(rows); at 100 TB the
+vocab of merges (a few hundred pairs) broadcasts in the closure and
+the UDF stays row-parallel with no shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+_WS = re.compile(r"\s+")
+
+# fixture corpus the DEFAULT vocab is trained from at build/import time
+# (sf0.001 documents — 50 rows); override via env for other layouts.
+DEFAULT_VOCAB_CORPUS = os.environ.get(
+    "SPARK_GRAFT_BPE_CORPUS", "/root/testdata/sf0.001/documents.parquet"
+)
+# the fixture vocabulary is ~31 distinct words; a larger budget would
+# learn every full word (1 token/word — a degenerate tokenizer). 48
+# merges leaves genuine 2-4-subword splits, which is what the counts
+# and windows are meant to measure.
+DEFAULT_N_MERGES = 48
+
+# tiny deterministic fallback so the module imports (and stays
+# testable) on a machine without the fixture parquet
+_FALLBACK_CORPUS = (
+    "the quick brown foxes jumped over the lazy dogs while the other "
+    "foxes watched the dogs sleeping under the brown trees near the "
+    "quiet rivers and the lazy foxes dreamed of jumping over rivers"
+)
+
+
+def _words(text: str) -> list[str]:
+    t = _WS.sub(" ", text.lower()).strip()
+    return t.split(" ") if t else []
+
+
+def _merge_all(toks: tuple, a: str, b: str) -> tuple:
+    out, i, ab = [], 0, a + b
+    while i < len(toks):
+        if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(texts: Iterable[str], n_merges: int = DEFAULT_N_MERGES) -> list[tuple[str, str]]:
+    """Rank-ordered merge list from a training corpus (deterministic —
+    see module docstring for the tie-break/stop contract)."""
+    wf: Counter = Counter()
+    for t in texts:
+        wf.update(_words(t or ""))
+    words: dict[str, tuple] = {w: tuple(w) for w in wf}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, toks in words.items():
+            f = wf[w]
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += f
+        if not pc:
+            break
+        best, n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append(best)
+        words = {w: _merge_all(toks, *best) for w, toks in words.items()}
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Tokenize one word against a trained merge table."""
+    toks: tuple = tuple(word)
+    while len(toks) > 1:
+        best = None
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, toks[i], toks[i + 1])
+        if best is None:
+            break
+        toks = _merge_all(toks, best[1], best[2])
+    return list(toks)
+
+
+_DEFAULT_MERGES: list[tuple[str, str]] | None = None
+
+
+def default_merges(n_merges: int = DEFAULT_N_MERGES) -> list[tuple[str, str]]:
+    """The build-time vocab: trained once per process from
+    DEFAULT_VOCAB_CORPUS (falling back to a bundled seed corpus), then
+    cached — both the Spark UDFs and the generated oracle SQL literal
+    derive from this one list, so they agree by construction."""
+    global _DEFAULT_MERGES
+    if _DEFAULT_MERGES is None:
+        try:
+            import pyarrow.parquet as pq
+
+            texts = [
+                t or ""
+                for t in pq.read_table(
+                    DEFAULT_VOCAB_CORPUS, columns=["text"]
+                ).column("text").to_pylist()
+            ]
+        except Exception:
+            texts = [_FALLBACK_CORPUS]
+        _DEFAULT_MERGES = train_bpe(texts, n_merges)
+    return _DEFAULT_MERGES
+
+
+def merges_sql_values(merges: list[tuple[str, str]]) -> str:
+    """The merge table as a SQL VALUES literal ``(rank, a, b, ab)`` —
+    the vocab CTE the DuckDB oracle re-runs the encoder from."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return ", ".join(
+        f"({i + 1}, {q(a)}, {q(b)}, {q(a + b)})" for i, (a, b) in enumerate(merges)
+    )
+
+
+def _counter(merges: list[tuple[str, str]]):
+    ranks = {m: i for i, m in enumerate(merges)}
+    cache: dict[str, int] = {}
+
+    def count(word: str) -> int:
+        c = cache.get(word)
+        if c is None:
+            c = len(encode_word(word, ranks))
+            cache[word] = c
+        return c
+
+    return count
+
+
+def bpe_token_count_udf(merges: list[tuple[str, str]]):
+    """pandas UDF: total BPE tokens per text (Σ over its words)."""
+    count = _counter(merges)
+
+    @pandas_udf("long")
+    def f(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: sum(count(w) for w in _words(t or "")) if t is not None else 0
+        )
+
+    return f
+
+
+def bpe_window_udf(merges: list[tuple[str, str]], window: int):
+    """pandas UDF: fixed-token-budget chunking. Word i joins the chunk
+    its FIRST token falls in: window_id = (tokens before word i) //
+    window — deterministic and prefix-sum expressible in SQL (a
+    straddling word may push a chunk past the budget; greedy repacking
+    would be order-sequential and no more correct). Returns
+    array<struct<window_id, n_words, n_tokens>>."""
+    count = _counter(merges)
+
+    @pandas_udf("array<struct<window_id: int, n_words: long, n_tokens: long>>")
+    def f(texts: pd.Series) -> pd.Series:
+        def chunks(t):
+            agg: dict[int, list[int]] = {}
+            cum = 0
+            for w in _words(t or ""):
+                c = count(w)
+                wid = cum // window
+                row = agg.setdefault(wid, [0, 0])
+                row[0] += 1
+                row[1] += c
+                cum += c
+            return [
+                {"window_id": k, "n_words": v[0], "n_tokens": v[1]}
+                for k, v in sorted(agg.items())
+            ]
+
+        return texts.map(chunks)
+
+    return f

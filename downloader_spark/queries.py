@@ -2729,3 +2729,131 @@ def q_json_props_stats(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer queries (VERDICT r4 #5): real subword counts, auditable.
+# The vocab is trained ONCE at import (functions/bpe.default_merges —
+# deterministic BPE over the sf0.001 fixture corpus) and embedded as a
+# literal VALUES CTE in the oracle, which re-runs the ENCODER itself as
+# a recursive SQL loop: per step, each still-reducible word applies its
+# lowest-rank applicable merge to the leftmost occurrence (equivalent
+# to batch merging — any merge involving a merged token has a later
+# rank). The Spark side is an Arrow-batched pandas UDF with a
+# distinct-word cache; the oracle encodes DISTINCT words only and
+# joins counts back to occurrences — same O(vocab) shape.
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle_common() -> str:
+    from .functions.bpe import default_merges, merges_sql_values
+
+    return r"""
+    WITH RECURSIVE merges(rank, a, b, ab) AS (
+      VALUES {values}
+    ), base AS (
+      SELECT doc_id, text,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), words(w) AS (
+      SELECT DISTINCT unnest(w) FROM base
+    ), enc(w, step, s) AS (
+      SELECT w, 0,
+        ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                                              i -> substr(w, i, 1)), ' ') || ' '
+      FROM words WHERE w <> ''
+      UNION ALL
+      SELECT w, step + 1,
+        substr(s, 1, pos - 1) || ' ' || ab || ' ' || substr(s, pos + len(a) + len(b) + 3)
+      FROM (
+        SELECT e.w, e.step, e.s,
+               min_by(m.a, m.rank) AS a, min_by(m.b, m.rank) AS b,
+               min_by(m.ab, m.rank) AS ab,
+               instr(e.s, ' ' || min_by(m.a, m.rank) || ' '
+                     || min_by(m.b, m.rank) || ' ') AS pos
+        FROM enc e JOIN merges m ON instr(e.s, ' ' || m.a || ' ' || m.b || ' ') > 0
+        GROUP BY e.w, e.step, e.s
+      )
+    ), wordtok AS (
+      SELECT w, len(string_split(trim(s), ' ')) AS n_tok
+      FROM (SELECT w, max_by(s, step) AS s FROM enc GROUP BY w)
+    )
+    """.replace("{values}", merges_sql_values(default_merges()))
+
+
+@_q(
+    "bpe_token_counts",
+    _bpe_oracle_common()
+    + r"""
+    , occ AS (
+      SELECT doc_id, unnest(w) AS word FROM base
+    ), agg AS (
+      SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+      FROM occ JOIN wordtok ON occ.word = wordtok.w GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(w) END AS BIGINT) AS n_words,
+           COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+    FROM base LEFT JOIN agg USING (doc_id) ORDER BY base.doc_id
+    """,
+)
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-document REAL subword token counts from the build-time BPE
+    vocab (functions/bpe.py) next to the whitespace word count — the
+    unit training-data budgets are actually stated in (the chars/4
+    `subword_estimate` heuristic remains for vocabulary-free use).
+    Oracle re-runs the encoder in recursive SQL from the literal merge
+    table."""
+    from .functions.bpe import bpe_token_count_udf, default_merges
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    collapsed = F.trim(F.regexp_replace("text", r"\s+", " "))
+    n_words = (
+        F.when(collapsed == "", F.lit(0))
+        .otherwise(F.size(F.split(collapsed, " ")))
+        .cast("long")
+    )
+    bpe_count = bpe_token_count_udf(default_merges())
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        bpe_count("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "bpe_token_windows",
+    _bpe_oracle_common()
+    + r"""
+    , pos AS (
+      SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word FROM base
+    ), cum AS (
+      SELECT doc_id, i, n_tok,
+        COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM pos JOIN wordtok ON pos.word = wordtok.w
+    )
+    SELECT doc_id, CAST(before // 64 AS INT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM cum GROUP BY doc_id, window_id ORDER BY doc_id, window_id
+    """,
+)
+def q_bpe_token_windows(spark, sf_dir):
+    """Fixed-token-budget chunking in REAL BPE tokens (window = 64): a
+    word joins the chunk its first token falls in — deterministic,
+    prefix-sum expressible, shuffle-free (one pandas-UDF pass +
+    explode). Complements `token_windows`' fixed word stride."""
+    from .functions.bpe import bpe_window_udf, default_merges
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    win = bpe_window_udf(default_merges(), 64)
+    return (
+        docs.select("doc_id", F.explode(win("text")).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.window_id").alias("window_id"),
+            F.col("c.n_words").alias("n_words"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "window_id")
+    )
