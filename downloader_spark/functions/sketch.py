@@ -51,14 +51,7 @@ def hll_registers(
     """(register_id, max_rho) — ALL m registers present (empty ones as
     rho 0, so two sketches align for merging). One hash-agg; the
     grouped key is an int, the payload an int."""
-    p = _check_m(m)
-    h = hasher(col)
-    bucket = (h.bitwiseAND(F.lit(m - 1))).cast("int")
-    v = F.shiftrightunsigned(h, p).bitwiseAND(F.lit(0xFFFFFFFF))
-    rho = (
-        F.when(v == 0, F.lit(RHO_CAP))
-        .otherwise(F.log2(v.bitwiseAND(-v)).cast("int") + 1)
-    )
+    bucket, rho = _rho_cols(col, m, hasher)
     observed = (
         df.select(bucket.alias("register_id"), rho.alias("_rho"))
         .groupBy("register_id")
@@ -73,6 +66,76 @@ def hll_registers(
             "register_id",
             F.coalesce("max_rho", F.lit(0)).cast("int").alias("max_rho"),
         )
+    )
+
+
+def _rho_cols(col: Column, m: int, hasher) -> tuple[Column, Column]:
+    p = _check_m(m)
+    h = hasher(col)
+    bucket = (h.bitwiseAND(F.lit(m - 1))).cast("int")
+    v = F.shiftrightunsigned(h, p).bitwiseAND(F.lit(0xFFFFFFFF))
+    rho = (
+        F.when(v == 0, F.lit(RHO_CAP))
+        .otherwise(F.log2(v.bitwiseAND(-v)).cast("int") + 1)
+    )
+    return bucket, rho
+
+
+def hll_registers_by(
+    df: DataFrame,
+    col: Column,
+    group_cols: list[str],
+    m: int = 256,
+    hasher=F.xxhash64,
+) -> DataFrame:
+    """Per-GROUP sketches: (group..., register_id, max_rho) with all m
+    registers present in every group — one sketch per wave/day/crawl
+    that later max-merges losslessly. Cost: one hash-agg on
+    (group, int) keys plus a groups×m backfill join (groups is the
+    distinct group set — tiny next to the data)."""
+    bucket, rho = _rho_cols(col, m, hasher)
+    observed = (
+        df.select(*group_cols, bucket.alias("register_id"), rho.alias("_rho"))
+        .groupBy(*group_cols, "register_id")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+    all_regs = (
+        df.select(*group_cols).distinct()
+        .crossJoin(
+            df.sparkSession.range(m).select(
+                F.col("id").cast("int").alias("register_id")
+            )
+        )
+    )
+    return all_regs.join(observed, [*group_cols, "register_id"], "left").select(
+        *group_cols,
+        "register_id",
+        F.coalesce("max_rho", F.lit(0)).cast("int").alias("max_rho"),
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_cols: list[str], m: int = 256
+) -> DataFrame:
+    """Grouped form of hll_estimate: one (harmonic_s, n_zero_registers,
+    est_distinct) row per group."""
+    _check_m(m)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = F.sum(
+        F.when(F.col("max_rho") == 0, F.lit(1 << RHO_CAP))
+        .otherwise(F.expr(f"shiftleft(1L, {RHO_CAP} - max_rho)"))
+        .cast("long")
+    ).alias("harmonic_s")
+    zeros = F.sum(F.when(F.col("max_rho") == 0, 1).otherwise(0)).cast("long")
+    agg = registers.groupBy(*group_cols).agg(s, zeros.alias("n_zero_registers"))
+    raw = F.lit(alpha * m * m * float(1 << RHO_CAP)) / F.col("harmonic_s")
+    est = F.when(
+        (F.col("n_zero_registers") > 0) & (raw <= 2.5 * m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero_registers")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, "harmonic_s", "n_zero_registers",
+        F.round(est, 4).alias("est_distinct"),
     )
 
 

@@ -78,6 +78,14 @@ class CrawlConfig:
     # ranks (pagerank_fixedpoint_py), so parity holds by construction.
     pagerank_every: int = 0
     pagerank_iters: int = 3
+    # per-wave HyperLogLog registers over the wave's DISCOVERED urls,
+    # stored in the metrics table (VERDICT r4 #6). Cross-wave merge is
+    # an elementwise register max — a running distinct-discovered-URL
+    # estimate with NO COUNT(DISTINCT) over crawl history (the seen
+    # table counts fetched terminals; discovered urls are never stored
+    # as a set anywhere). 0 = off; else a power of two >= 16
+    # (functions/sketch.py geometry).
+    hll_metrics_m: int = 0
 
     def __post_init__(self) -> None:
         if self.bloom_probe not in ("auto", "broadcast", "cogroup"):
@@ -98,6 +106,10 @@ class CrawlConfig:
                 "pagerank_every must be >= 0 (0 disables) and "
                 "pagerank_iters >= 1"
             )
+        if self.hll_metrics_m and (
+            self.hll_metrics_m < 16 or self.hll_metrics_m & (self.hll_metrics_m - 1)
+        ):
+            raise ValueError("hll_metrics_m must be 0 (off) or a power of two >= 16")
 
     def bloom_bitmap_bytes(self) -> int:
         return self.bloom_num_buckets * self.bloom_bits_per_bucket // 8

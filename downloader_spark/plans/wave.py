@@ -719,6 +719,11 @@ class CrawlEngine:
                 .distinct()
             )
             wh.commit(links_df, "links", wave=wave)
+        if cfg.hll_metrics_m:
+            # two consumers when the distinct-discovered sketch is on
+            # (the frontier chain below + the register agg after it);
+            # the frontier job populates the cache, the sketch reads it
+            discovered = discovered.persist()
         obs_disc = Observation(f"disc-{wave}")
         discovered_new = (
             self._filter_unseen(discovered)  # pre-wave snapshots
@@ -799,6 +804,21 @@ class CrawlEngine:
             "too_large": int(sc["n_too_large"] or 0),
         }
 
+        # per-wave HLL registers over this wave's discovered urls (the
+        # wave's contribution to the running distinct-discovered
+        # estimate — see distinct_discovered_estimate). m ints ride in
+        # the metrics row; the collect is m rows of two ints.
+        hll_regs: list[int] | None = None
+        if cfg.hll_metrics_m:
+            from ..functions.sketch import hll_registers
+
+            hll_regs = [0] * cfg.hll_metrics_m
+            for r in hll_registers(
+                discovered, F.col("url"), m=cfg.hll_metrics_m
+            ).collect():
+                hll_regs[int(r["register_id"])] = int(r["max_rho"])
+            discovered.unpersist()
+
         metrics = WaveMetrics(
             wave=wave,
             n_frontier_in=n_frontier_in,
@@ -816,7 +836,10 @@ class CrawlEngine:
             n_frontier_out=n_frontier_out,
             n_seen_out=n_seen_out,
         )
-        mdf = spark.createDataFrame([vars(metrics)])
+        row = dict(vars(metrics))
+        if hll_regs is not None:
+            row["hll_regs"] = hll_regs
+        mdf = spark.createDataFrame([row])
         wh.commit(mdf, "metrics", wave=wave)
 
         # the metrics commit marker is durable: NOW superseded seen
@@ -867,6 +890,36 @@ class CrawlEngine:
             "urls_seen": seen,
             "results_snapshots": len(self.wh.snapshots("results")),
         }
+
+    def distinct_discovered_estimate(self) -> dict:
+        """Running distinct-DISCOVERED-URL estimate from the per-wave
+        HLL registers stored in metrics (cfg.hll_metrics_m), merged via
+        the lossless elementwise register max — the number the crawl
+        cannot otherwise report without keeping (and COUNT(DISTINCT)ing)
+        every discovered url ever, most of which are never fetched.
+        Merged-sketch ≡ sketch-of-union by construction (pinned in
+        tests/test_hll_metrics.py). Returns
+        {registers, harmonic_s, n_zero_registers, est_distinct}."""
+        from ..functions.sketch import hll_estimate
+
+        m = self.cfg.hll_metrics_m
+        if not m:
+            raise ValueError("hll_metrics_m is 0 — the sketch is disabled")
+        merged = [0] * m
+        for s in self.wh.snapshots("metrics"):
+            df = self.wh.read(self.spark, "metrics", s["id"])
+            if "hll_regs" not in df.columns:
+                continue  # wave recorded before the sketch was enabled
+            regs = df.select("hll_regs").collect()[0][0]
+            for i, v in enumerate(regs):
+                if v > merged[i]:
+                    merged[i] = int(v)
+        regs_df = self.spark.createDataFrame(
+            [(i, v) for i, v in enumerate(merged)], "register_id int, max_rho int"
+        )
+        out = hll_estimate(regs_df, m=m).collect()[0].asDict()
+        out["registers"] = merged
+        return out
 
     # -- reads ------------------------------------------------------------------
     def all_results(self) -> DataFrame:
