@@ -153,9 +153,21 @@ def gopher_features(text: Column) -> dict[str, Column]:
     n_dots = (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3.0
     n_uni = F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
     alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double")
+    n_toks = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    mean_wl = F.round(
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / n_toks,
+        6,
+    )
     return {
         "n_words": n_words.cast("long"),
-        "mean_word_len": quality_features(text)["mean_word_len"],
+        # same expression as quality_features' mean_word_len, built on
+        # THIS function's token array instead of a second split
+        "mean_word_len": mean_wl,
         "bullet_line_ratio": F.round(bullet / n_lines, 6),
         "ellipsis_line_ratio": F.round(ellipsis_line / n_lines, 6),
         "symbol_word_ratio": F.round((n_hash + n_dots + n_uni) / nw, 6),
@@ -204,6 +216,12 @@ GOPHER_REPETITION_THRESHOLDS = {
     "max_top_2gram_char_frac": 0.20,
     "max_top_3gram_char_frac": 0.18,
     "max_top_4gram_char_frac": 0.16,
+    "max_dup_5gram_char_frac": 0.15,
+    "max_dup_6gram_char_frac": 0.14,
+    "max_dup_7gram_char_frac": 0.13,
+    "max_dup_8gram_char_frac": 0.12,
+    "max_dup_9gram_char_frac": 0.11,
+    "max_dup_10gram_char_frac": 0.10,
 }
 
 REPETITION_FEATURES = [
@@ -214,6 +232,12 @@ REPETITION_FEATURES = [
     "top_2gram_char_frac",
     "top_3gram_char_frac",
     "top_4gram_char_frac",
+    "dup_5gram_char_frac",
+    "dup_6gram_char_frac",
+    "dup_7gram_char_frac",
+    "dup_8gram_char_frac",
+    "dup_9gram_char_frac",
+    "dup_10gram_char_frac",
 ]
 
 REPETITION_FLAGS = [
@@ -224,6 +248,12 @@ REPETITION_FLAGS = [
     "top_2gram_heavy",
     "top_3gram_heavy",
     "top_4gram_heavy",
+    "dup_5gram_heavy",
+    "dup_6gram_heavy",
+    "dup_7gram_heavy",
+    "dup_8gram_heavy",
+    "dup_9gram_heavy",
+    "dup_10gram_heavy",
 ]
 
 
@@ -238,30 +268,34 @@ def _sum_lengths(arr: Column) -> Column:
     )
 
 
-def _max_run_cover(sorted_grams: Column) -> Column:
+def _max_run_cover(sorted_grams: Column, n: int) -> Column:
     """max over REPEATED grams g (count ≥ 2) of count(g)·len(g),
-    computed as ONE aggregate pass over the SORTED gram array (equal
-    grams are adjacent; a run's cover grows monotonically, so updating
-    the best at every step ≥ 2 equals the per-distinct-gram maximum).
-    Grams occurring once contribute 0 — otherwise the single LONGEST
-    n-gram's own length trips the threshold on short documents, which
-    is not what the published rule measures (the public
-    implementations guard count > 1 the same way). The accumulator
-    lambda touches only (acc, x) — safe from the inline-HOF recompute
-    hazard; the collection argument is evaluated once regardless."""
+    computed as ONE aggregate pass over the SORTED ``(g, p)`` struct
+    array (equal grams are adjacent; a run's cover grows
+    monotonically, so updating the best at every step ≥ 2 equals the
+    per-distinct-gram maximum). len(g) is the space-joined char length
+    (_gram_chars), evaluated LAZILY only on run elements ≥ 2 — a clean
+    document never pays it. Grams occurring once contribute 0 —
+    otherwise the single LONGEST n-gram's own length trips the
+    threshold on short documents, which is not what the published rule
+    measures (the public implementations guard count > 1 the same
+    way). The accumulator lambda touches only (acc, x) — safe from the
+    inline-HOF recompute hazard; the collection argument is evaluated
+    once regardless."""
     zero = F.struct(
-        F.lit("").alias("prev"),
+        F.array().cast("array<array<string>>").alias("pg"),
         F.lit(0).cast("long").alias("run"),
         F.lit(0).cast("long").alias("best"),
     )
 
     def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-        cover = F.when(run >= 2, run * F.length(x).cast("long")).otherwise(
+        same = (F.size(acc["pg"]) > 0) & (F.element_at(acc["pg"], 1) == x["g"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        cover = F.when(run >= 2, run * _gram_chars(x["g"], n)).otherwise(
             F.lit(0).cast("long")
         )
         return F.struct(
-            x.alias("prev"),
+            F.array(x["g"]).alias("pg"),
             run.alias("run"),
             F.greatest(acc["best"], cover).alias("best"),
         )
@@ -269,21 +303,112 @@ def _max_run_cover(sorted_grams: Column) -> Column:
     return F.aggregate(sorted_grams, zero, step, lambda acc: acc["best"])
 
 
-def _word_grams(toks: Column, n: int) -> Column:
-    """Sliding word n-grams (space-joined) over a MATERIALIZED token
-    array — same split-once contract as fingerprint64_of_words: the
-    lambda body references ``toks``, which must be a plain column
-    attribute, never an inline split expression."""
+def _gram_structs(toks: Column, n: int) -> Column:
+    """Word n-grams as ``struct(g: array<string>, p: int)`` — the gram
+    is the raw TOKEN SLICE, never a concatenated string: tokens cannot
+    contain whitespace (they come from a \\s+ split), so slice equality
+    ≡ joined-string equality, and skipping the per-gram concat_ws is
+    the single biggest cost cut in this interpreted per-row path
+    (measured: string-gram build + string sort dominated the v1
+    dup-n-gram wall). ``p`` is the 0-based start position. ``toks``
+    must be a materialized column (lambda-body reference)."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: F.struct(F.slice(toks, i, n).alias("g"), (i - 1).alias("p")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<struct<g: array<string>, p: int>>"))
 
 
-def with_repetition(df, text_col: str = "text"):
+def _gram_chars(g: Column, n: int) -> Column:
+    """Char length of the space-joined gram: Σ token lengths + (n-1)."""
+    return (
+        F.aggregate(
+            F.transform(g, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        + F.lit(n - 1).cast("long")
+    )
+
+
+def _dup_positions(sorted_grams: Column) -> Column:
+    """Ascending start positions of grams occurring ≥ 2 times, from the
+    SORTED ``(g, p)`` struct array (equal grams adjacent; within a run
+    positions ascend). One aggregate pass appending positions only for
+    run elements — a clean document appends nothing — then one sort of
+    the (small) position array to restore document order across runs."""
+    zero = F.struct(
+        F.array().cast("array<array<string>>").alias("pg"),
+        F.lit(0).alias("pp"),
+        F.lit(0).alias("run"),
+        F.array().cast("array<int>").alias("out"),
+    )
+
+    def step(acc, x):
+        same = F.size(acc["pg"]) > 0
+        same = same & (F.element_at(acc["pg"], 1) == x["g"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        out = (
+            F.when(
+                same & (run == 2),
+                F.array_append(F.array_append(acc["out"], acc["pp"]), x["p"]),
+            )
+            .when(same, F.array_append(acc["out"], x["p"]))
+            .otherwise(acc["out"])
+        )
+        return F.struct(
+            F.array(x["g"]).alias("pg"),
+            x["p"].alias("pp"),
+            run.alias("run"),
+            out.alias("out"),
+        )
+
+    return F.array_sort(F.aggregate(sorted_grams, zero, step, lambda a: a["out"]))
+
+
+def _cover_from_starts(toks: Column, starts: Column, n: int) -> Column:
+    """Characters of the whitespace-collapsed text covered by the
+    UNION of [s, s+n) token windows (``starts`` ascending, one window
+    per dup-gram position) — overlap counted once, per the published
+    dup-n-gram rule. Scans the STARTS (not the tokens): per window,
+    chars = Σ token lengths over the not-yet-covered suffix
+    [max(s, end), s+n) + its internal spaces + the boundary space when
+    the window overlaps previous coverage (lo > s ⟹ this window spans
+    lo-1 and lo). A clean document (no dup grams) does ZERO work; a
+    pathological one does O(total window length). Both ``toks`` and
+    ``starts`` must be MATERIALIZED columns (lambda-body references)."""
+    zero = F.struct(F.lit(0).alias("end"), F.lit(0).cast("long").alias("cov"))
+
+    def step(acc, s):
+        lo = F.greatest(s, acc["end"])
+        hi = s + n
+        seg_chars = F.aggregate(
+            F.transform(
+                F.slice(toks, lo + 1, F.greatest(hi - lo, F.lit(0))),
+                lambda w: F.length(w).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        add = F.when(
+            hi > lo,
+            seg_chars
+            + (hi - lo - 1).cast("long")
+            + F.when(lo > s, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            F.greatest(acc["end"], hi).alias("end"),
+            (acc["cov"] + add).alias("cov"),
+        )
+
+    return F.when(F.size(starts) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(starts, zero, step, lambda a: a["cov"])
+    )
+
+
+def with_repetition(df, text_col: str = "text", features: list[str] | None = None):
     """Append the Gopher repetition features + per-rule flags + the
     composite ``repetition_pass`` to ``df`` — a DataFrame-level API
     (unlike the pure-column content pack) because the token/line/
@@ -294,6 +419,12 @@ def with_repetition(df, text_col: str = "text"):
     class). All ratios rounded to 6 dp; numerators are exact integer
     sums, so the DuckDB oracle recomputes them bit-equal.
 
+    ``features`` selects a subset (default: all 7). Unrequested
+    features skip their array builds entirely — a gate that only tests
+    dup-line/dup-para/top-2-gram (webtext_pipeline) shouldn't pay for
+    two extra gram sorts per row. ``repetition_pass`` is emitted only
+    for the full pack (a subset pass would silently mean less).
+
     Paragraphs split on a blank line (\\n\\n); lines on \\n. Duplicate
     fractions count occurrences beyond the first (total − distinct);
     char fractions weight those occurrences by length over total text
@@ -301,46 +432,90 @@ def with_repetition(df, text_col: str = "text"):
     character-covering REPEATED n-gram (count ≥ 2; see _max_run_cover)
     over total text chars (sliding grams overlap, so a pathological
     doc can exceed 1 — thresholds only test the upper side, as in the
-    published rule-set)."""
+    published rule-set). Dup-{5..10}-gram char fractions are the
+    section's third family: characters covered by the UNION of all
+    n-gram occurrences whose gram appears ≥ 2 times, overlap counted
+    ONCE (Rae et al. count "characters contained within all duplicate
+    n-grams"), measured in the whitespace-collapsed text and divided
+    by the same original-text char denominator as the top-n-gram
+    rules — see _cover_from_starts for the starts-driven scan."""
+    wanted = list(features) if features is not None else list(REPETITION_FEATURES)
+    unknown = set(wanted) - set(REPETITION_FEATURES)
+    if unknown:
+        raise ValueError(f"unknown repetition features: {sorted(unknown)}")
     t = F.col(text_col)
-    base = df.withColumn("_rl", F.split(t, "\n")).withColumn(
-        "_rp", F.split(t, "\n\n")
-    ).withColumn("_rt", _tokens(t))
+    need_lines = any(f.startswith("dup_line") for f in wanted)
+    need_paras = any(f.startswith("dup_para") for f in wanted)
+    gram_ns = [n for n in (2, 3, 4) if f"top_{n}gram_char_frac" in wanted]
+    dup_ns = [n for n in (5, 6, 7, 8, 9, 10) if f"dup_{n}gram_char_frac" in wanted]
+    base = df
+    if need_lines:
+        base = base.withColumn("_rl", F.split(t, "\n"))
+    if need_paras:
+        base = base.withColumn("_rp", F.split(t, "\n\n"))
+    if gram_ns or dup_ns:
+        base = base.withColumn("_rt", _tokens(t))
+    # n-gram features share one representation per n: struct(token
+    # SLICE, position) — no gram strings are ever concatenated — built
+    # and SORTED in separate projections (each is a lambda-body
+    # reference downstream). Top-n features run the run-max aggregate
+    # over the sorted array; dup-n features extract the (usually
+    # empty) dup-position array and pay coverage costs only on
+    # repetitive documents.
+    dup_tmp: list[str] = []
+    for n in sorted(set(gram_ns) | set(dup_ns)):
+        base = base.withColumn(f"_gp{n}", _gram_structs(F.col("_rt"), n))
+        base = base.withColumn(f"_sp{n}", F.array_sort(F.col(f"_gp{n}")))
+        dup_tmp += [f"_gp{n}", f"_sp{n}"]
+        if n in dup_ns:
+            base = base.withColumn(f"_st{n}", _dup_positions(F.col(f"_sp{n}")))
+            dup_tmp.append(f"_st{n}")
     nchars = F.greatest(F.length(t), F.lit(1)).cast("double")
     lines, paras, toks = F.col("_rl"), F.col("_rp"), F.col("_rt")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     n_paras = F.greatest(F.size(paras), F.lit(1)).cast("double")
-    feats = base.withColumns(
-        {
-            "dup_line_frac": F.round(
-                (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines, 6
-            ),
-            "dup_para_frac": F.round(
-                (F.size(paras) - F.size(F.array_distinct(paras))) / n_paras, 6
-            ),
-            "dup_line_char_frac": F.round(
-                (_sum_lengths(lines) - _sum_lengths(F.array_distinct(lines))) / nchars, 6
-            ),
-            "dup_para_char_frac": F.round(
-                (_sum_lengths(paras) - _sum_lengths(F.array_distinct(paras))) / nchars, 6
-            ),
-            "top_2gram_char_frac": F.round(
-                _max_run_cover(F.array_sort(_word_grams(toks, 2))) / nchars, 6
-            ),
-            "top_3gram_char_frac": F.round(
-                _max_run_cover(F.array_sort(_word_grams(toks, 3))) / nchars, 6
-            ),
-            "top_4gram_char_frac": F.round(
-                _max_run_cover(F.array_sort(_word_grams(toks, 4))) / nchars, 6
-            ),
-        }
-    ).drop("_rl", "_rp", "_rt")
+    exprs = {
+        "dup_line_frac": lambda: F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines, 6
+        ),
+        "dup_para_frac": lambda: F.round(
+            (F.size(paras) - F.size(F.array_distinct(paras))) / n_paras, 6
+        ),
+        "dup_line_char_frac": lambda: F.round(
+            (_sum_lengths(lines) - _sum_lengths(F.array_distinct(lines))) / nchars, 6
+        ),
+        "dup_para_char_frac": lambda: F.round(
+            (_sum_lengths(paras) - _sum_lengths(F.array_distinct(paras))) / nchars, 6
+        ),
+        **{
+            f"top_{n}gram_char_frac": (
+                lambda n=n: F.round(
+                    _max_run_cover(F.col(f"_sp{n}"), n) / nchars, 6
+                )
+            )
+            for n in (2, 3, 4)
+        },
+        **{
+            f"dup_{n}gram_char_frac": (
+                lambda n=n: F.round(
+                    _cover_from_starts(toks, F.col(f"_st{n}"), n) / nchars, 6
+                )
+            )
+            for n in (5, 6, 7, 8, 9, 10)
+        },
+    }
+    feats = base.withColumns({f: exprs[f]() for f in wanted}).drop(
+        "_rl", "_rp", "_rt", *dup_tmp
+    )
     th = GOPHER_REPETITION_THRESHOLDS
     flags = {
         flag: F.col(feat) > F.lit(th[f"max_{feat}"])
         for feat, flag in zip(REPETITION_FEATURES, REPETITION_FLAGS)
+        if feat in wanted
     }
     out = feats.withColumns(flags)
+    if set(wanted) != set(REPETITION_FEATURES):
+        return out
     rep_fail = None
     for flag in REPETITION_FLAGS:
         rep_fail = F.col(flag) if rep_fail is None else (rep_fail | F.col(flag))

@@ -154,6 +154,34 @@ def q_quality_score(spark, sf_dir):
           FROM base, (SELECT unnest([2, 3, 4]) AS n) ns
         ) GROUP BY doc_id, n, g
       ) WHERE c >= 2 GROUP BY doc_id, n
+    ), dupg AS (
+      -- 0-based start positions of n-grams occurring >= 2 times
+      SELECT doc_id, n, i FROM (
+        SELECT doc_id, n, i, g, COUNT(*) OVER (PARTITION BY doc_id, n, g) AS c
+        FROM (
+          SELECT doc_id, ns.n AS n,
+            unnest(range(0, greatest(len(w) - ns.n + 1, 0))) AS i,
+            unnest(list_transform(range(1, greatest(len(w) - ns.n + 2, 1)),
+                   j -> array_to_string(list_slice(w, j, j + ns.n - 1), ' '))) AS g
+          FROM base, (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n) ns
+        )
+      ) WHERE c >= 2
+    ), covtok AS (
+      -- union of [i, i+n) token windows: token t covered once; the
+      -- space before t counts when one window spans t-1 and t (off>0)
+      SELECT doc_id, n, i + off AS t,
+             MAX(CASE WHEN off > 0 THEN 1 ELSE 0 END) AS gapcov
+      FROM dupg, (SELECT unnest(range(0, 10)) AS off) o
+      WHERE off < n
+      GROUP BY doc_id, n, i + off
+    ), toklen AS (
+      SELECT doc_id, unnest(range(0, len(w))) AS t,
+             unnest(list_transform(w, x -> len(x))) AS tlen
+      FROM base
+    ), dupcov AS (
+      SELECT c.doc_id, c.n, CAST(SUM(tl.tlen) + SUM(c.gapcov) AS BIGINT) AS cov
+      FROM covtok c JOIN toklen tl ON c.doc_id = tl.doc_id AND c.t = tl.t
+      GROUP BY c.doc_id, c.n
     ), feat AS (
       SELECT doc_id, n_words,
         ROUND(list_sum(list_transform(w, x -> len(x))) * 1.0
@@ -185,11 +213,29 @@ def q_quality_score(spark, sf_dir):
         ROUND(COALESCE(t3.cover, 0) * 1.0 / greatest(length(text), 1), 6)
               AS top_3gram_char_frac,
         ROUND(COALESCE(t4.cover, 0) * 1.0 / greatest(length(text), 1), 6)
-              AS top_4gram_char_frac
+              AS top_4gram_char_frac,
+        ROUND(COALESCE(c5.cov, 0) * 1.0 / greatest(length(text), 1), 6)
+              AS dup_5gram_char_frac,
+        ROUND(COALESCE(c6.cov, 0) * 1.0 / greatest(length(text), 1), 6)
+              AS dup_6gram_char_frac,
+        ROUND(COALESCE(c7.cov, 0) * 1.0 / greatest(length(text), 1), 6)
+              AS dup_7gram_char_frac,
+        ROUND(COALESCE(c8.cov, 0) * 1.0 / greatest(length(text), 1), 6)
+              AS dup_8gram_char_frac,
+        ROUND(COALESCE(c9.cov, 0) * 1.0 / greatest(length(text), 1), 6)
+              AS dup_9gram_char_frac,
+        ROUND(COALESCE(c10.cov, 0) * 1.0 / greatest(length(text), 1), 6)
+              AS dup_10gram_char_frac
       FROM base
       LEFT JOIN (SELECT doc_id, cover FROM topg WHERE n = 2) t2 USING (doc_id)
       LEFT JOIN (SELECT doc_id, cover FROM topg WHERE n = 3) t3 USING (doc_id)
       LEFT JOIN (SELECT doc_id, cover FROM topg WHERE n = 4) t4 USING (doc_id)
+      LEFT JOIN (SELECT doc_id, cov FROM dupcov WHERE n = 5) c5 USING (doc_id)
+      LEFT JOIN (SELECT doc_id, cov FROM dupcov WHERE n = 6) c6 USING (doc_id)
+      LEFT JOIN (SELECT doc_id, cov FROM dupcov WHERE n = 7) c7 USING (doc_id)
+      LEFT JOIN (SELECT doc_id, cov FROM dupcov WHERE n = 8) c8 USING (doc_id)
+      LEFT JOIN (SELECT doc_id, cov FROM dupcov WHERE n = 9) c9 USING (doc_id)
+      LEFT JOIN (SELECT doc_id, cov FROM dupcov WHERE n = 10) c10 USING (doc_id)
     )
     SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
            bullet_line_ratio, ellipsis_line_ratio, symbol_word_ratio,
@@ -207,7 +253,9 @@ def q_quality_score(spark, sf_dir):
                 OR alpha_word_ratio < 0.8) AS gopher_pass,
            dup_line_frac, dup_para_frac, dup_line_char_frac,
            dup_para_char_frac, top_2gram_char_frac, top_3gram_char_frac,
-           top_4gram_char_frac,
+           top_4gram_char_frac, dup_5gram_char_frac, dup_6gram_char_frac,
+           dup_7gram_char_frac, dup_8gram_char_frac, dup_9gram_char_frac,
+           dup_10gram_char_frac,
            (dup_line_frac > 0.30) AS dup_line_heavy,
            (dup_para_frac > 0.30) AS dup_para_heavy,
            (dup_line_char_frac > 0.20) AS dup_line_char_heavy,
@@ -215,10 +263,19 @@ def q_quality_score(spark, sf_dir):
            (top_2gram_char_frac > 0.20) AS top_2gram_heavy,
            (top_3gram_char_frac > 0.18) AS top_3gram_heavy,
            (top_4gram_char_frac > 0.16) AS top_4gram_heavy,
+           (dup_5gram_char_frac > 0.15) AS dup_5gram_heavy,
+           (dup_6gram_char_frac > 0.14) AS dup_6gram_heavy,
+           (dup_7gram_char_frac > 0.13) AS dup_7gram_heavy,
+           (dup_8gram_char_frac > 0.12) AS dup_8gram_heavy,
+           (dup_9gram_char_frac > 0.11) AS dup_9gram_heavy,
+           (dup_10gram_char_frac > 0.10) AS dup_10gram_heavy,
            NOT (dup_line_frac > 0.30 OR dup_para_frac > 0.30
                 OR dup_line_char_frac > 0.20 OR dup_para_char_frac > 0.20
                 OR top_2gram_char_frac > 0.20 OR top_3gram_char_frac > 0.18
-                OR top_4gram_char_frac > 0.16) AS repetition_pass
+                OR top_4gram_char_frac > 0.16 OR dup_5gram_char_frac > 0.15
+                OR dup_6gram_char_frac > 0.14 OR dup_7gram_char_frac > 0.13
+                OR dup_8gram_char_frac > 0.12 OR dup_9gram_char_frac > 0.11
+                OR dup_10gram_char_frac > 0.10) AS repetition_pass
     FROM feat ORDER BY doc_id
     """,
 )
@@ -230,6 +287,9 @@ def q_gopher_quality(spark, sf_dir):
     §A1.1 content section), PLUS duplicate-line/paragraph fractions (by
     occurrence and character mass) and top-{2,3,4}-gram character
     fractions (§A1.1 repetition section, Table A1 thresholds) — with
+    AND dup-{5..10}-gram char-coverage fractions (the section's third
+    family: union of repeated n-gram occurrences, overlap counted
+    once) — with
     per-rule flags and the composite gopher_pass / repetition_pass.
     The corpus is clean word soup, so SEVEN pathological doc families
     are SEEDED from the real text (symbol flood, bullet explosion,
@@ -305,6 +365,10 @@ def q_gopher_quality(spark, sf_dir):
         )
     )
     feats = gopher_features(F.col("text"))
+    # spread the per-row HOF work: the sf fixture is ONE small parquet
+    # file (1 scan partition per union branch); at production scale the
+    # scan already yields thousands of partitions and this is ~free
+    seeded = seeded.repartition(spark.sparkContext.defaultParallelism)
     return (
         with_repetition(seeded)
         .select(
@@ -1650,8 +1714,14 @@ def q_webtext_pipeline(spark, sf_dir):
         )
     )
     fl = gopher_flags(F.col("text"))
+    # spread the per-row HOF gate work across cores (single-file toy
+    # fixture -> one scan partition per union branch; free at scale)
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
     gated = (
-        with_repetition(corpus.withColumn("_fl", fl))
+        with_repetition(
+            corpus.withColumn("_fl", fl),
+            features=["dup_line_frac", "dup_para_frac", "top_2gram_char_frac"],
+        )
         .filter(
             ~F.col("_fl.word_len_out") & ~F.col("_fl.symbol_heavy")
             & ~F.col("_fl.bullet_heavy") & ~F.col("_fl.ellipsis_heavy")

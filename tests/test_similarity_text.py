@@ -349,6 +349,8 @@ def test_gopher_repetition_features_and_flags(spark):
         (4, "spam ham " * 30),                                     # top-2-gram
         (5, ""),                                                   # empty
         (6, "one"),                                                # < n words
+        (7, "alpha beta gamma delta epsilon zeta " * 2             # dup 5/6-gram
+            + "tail of unique closing words drifting past the quiet harbor"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in with_repetition(df).collect()}
@@ -376,6 +378,22 @@ def test_gopher_repetition_features_and_flags(spark):
                 max((cnt * len(g) for g, cnt in c.items() if cnt >= 2), default=0)
                 / nch, 6,
             )
+        # dup-{5..10}-gram coverage: independent CHAR-POSITION-SET
+        # recompute (union of [start, start+len(gram)) char ranges in
+        # the collapsed text) — cross-checks the engine's token+gap
+        # linear scan against first-principles set semantics
+        offs, pos = [], 0
+        for t in toks:
+            offs.append(pos)
+            pos += len(t) + 1
+        for n in range(5, 11):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            covered: set[int] = set()
+            for i, g in enumerate(grams):
+                if c[g] >= 2:
+                    covered.update(range(offs[i], offs[i] + len(g)))
+            out[f"dup_{n}gram_char_frac"] = round(len(covered) / nch, 6)
         return out
 
     for doc_id, text in rows:
@@ -386,7 +404,10 @@ def test_gopher_repetition_features_and_flags(spark):
     assert got[2]["dup_line_heavy"] and got[2]["dup_line_char_heavy"]
     assert got[3]["dup_para_heavy"] and got[3]["dup_para_char_heavy"]
     assert got[4]["top_2gram_heavy"] and got[4]["top_3gram_heavy"]
-    for d in (2, 3, 4):
+    assert got[4]["dup_5gram_heavy"] and got[4]["dup_10gram_heavy"]
+    assert got[7]["dup_5gram_heavy"] and got[7]["dup_6gram_heavy"]
+    assert got[1]["dup_5gram_char_frac"] == 0.0  # clean prose: no dup grams
+    for d in (2, 3, 4, 7):
         assert not got[d]["repetition_pass"]
     assert got[5]["repetition_pass"] and got[6]["repetition_pass"]  # degenerate docs: no rule fires
 
