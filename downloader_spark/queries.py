@@ -3011,3 +3011,91 @@ def q_hll_wave_merge(spark, sf_dir):
         .unionByName(hll_estimate_by(merged_regs, ["wave"], m=256))
         .orderBy("wave")
     )
+
+
+def _lm_oracle_sql() -> str:
+    """Oracle for lm_perplexity, generated from the SAME cached model
+    dict the Spark path broadcasts (functions/lm.py default_lm) — every
+    log probability is one shared integer in micro-nats, so scores are
+    exact BIGINT sums on both engines (zero cross-engine float math).
+    The seeded families and the model tables must stay in lockstep with
+    q_lm_perplexity (CLAUDE.md invariant 8 class)."""
+    from .functions.lm import default_lm, lm_sql_ctes
+
+    m = default_lm()
+    return rf"""
+    WITH seeded AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, regexp_replace(text, '[a-z]', '7', 'g')
+        FROM documents WHERE doc_id % 25 = 0
+      UNION ALL SELECT doc_id + 2000000, repeat(substr(text, 1, 50) || ' ', 7)
+        FROM documents WHERE doc_id % 35 = 0
+    ),
+    {lm_sql_ctes(m)},
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM seeded
+    ),
+    w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    bg AS (
+      SELECT doc_id, list_extract(ws, g) AS a, list_extract(ws, g + 1) AS b
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS g FROM w)
+    ),
+    sc AS (
+      SELECT doc_id, COALESCE(p.lp_ab, c.lp_a, {m["oov_lp"]}) AS lp
+      FROM bg LEFT JOIN lm_pair p ON bg.a = p.a AND bg.b = p.b
+              LEFT JOIN lm_ctx c ON bg.a = c.a
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(lp) AS BIGINT) AS nll_micro
+      FROM sc GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(nll_micro, 0) AS nll_micro,
+           CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+                ELSE ROUND(nll_micro / (n_bigrams * 1000000.0), 6)
+           END AS mean_nll,
+           CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 'empty'
+                WHEN nll_micro <= {m["th_head"]} * n_bigrams THEN 'head'
+                WHEN nll_micro <= {m["th_tail"]} * n_bigrams THEN 'middle'
+                ELSE 'tail'
+           END AS ppl_bucket
+    FROM seeded s LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+    """
+
+
+@_q("lm_perplexity", _lm_oracle_sql())
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM perplexity filter (Wenzek et al. 2020): score
+    every document with the build-time add-one bigram LM and bucket
+    into head/middle/tail by the training-tercile thresholds — the
+    quality-filter family public webtext recipes run after dedup.
+    Two pathological families are SEEDED so all buckets + the OOV
+    cascade fire: digits-for-letters (every word OOV -> constant-lp
+    tail) and a repeated in-domain phrase (low-ppl head). Scores are
+    exact integer micro-nat sums (functions/lm.py), so the oracle
+    matches bit-for-bit; the mean is one shared IEEE division."""
+    from .functions.lm import score_perplexity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    seeded = docs.unionByName(
+        docs.filter(d % 25 == 0).select(
+            (d + 1000000).alias("doc_id"),
+            F.regexp_replace("text", "[a-z]", "7").alias("text"),
+        )
+    ).unionByName(
+        docs.filter(d % 35 == 0).select(
+            (d + 2000000).alias("doc_id"),
+            F.repeat(
+                F.concat(F.substring("text", 1, 50), F.lit(" ")), 7
+            ).alias("text"),
+        )
+    )
+    return (
+        score_perplexity(seeded)
+        .select("doc_id", "n_bigrams", "nll_micro", "mean_nll", "ppl_bucket")
+        .orderBy("doc_id")
+    )
