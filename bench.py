@@ -59,6 +59,7 @@ HEADLINE = [
     "bpe_token_windows",
     "hll_wave_merge",
     "lm_perplexity",
+    "embedding_knn_ivf2",
 ]
 
 

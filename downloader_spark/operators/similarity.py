@@ -418,6 +418,317 @@ def ivf_topk(
     return ivf_probe(index, queries, vec_col, k=k, nprobe=nprobe, round_to=round_to)
 
 
+# ---------------------------------------------------------------------------
+# Two-level IVF (coarse -> sub centroid tree) — the list-count scale path
+# ---------------------------------------------------------------------------
+
+
+def make_nearest_sub_udf(subs: dict[int, list[list[float]]], n: int = 1):
+    """Factory: pandas UDF mapping (coarse cell id, vector) to the
+    ``array<int>`` of the n nearest SUB-centroid indices within that
+    cell. The per-cell matrices live in the closure; each Arrow batch
+    groups rows by cell and does one matmul per distinct cell — the
+    same vectorization as make_nearest_centroids_udf, per cell."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    mats = {c: np.asarray(m, dtype=np.float64) for c, m in subs.items()}
+    norms = {c: (M * M).sum(axis=1) for c, M in mats.items()}
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def nearest(cell: pd.Series, v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        out = [None] * len(v)
+        pos = np.arange(len(v))
+        for c, grp in pd.Series(pos).groupby(cell.values):
+            C, cn = mats[int(c)], norms[int(c)]
+            rows = grp.values
+            d = cn[None, :] - 2.0 * (M[rows] @ C.T)
+            nn = min(n, C.shape[0])
+            idx = np.argsort(d, axis=1, kind="stable")[:, :nn]
+            for r, ids in zip(rows, idx):
+                out[r] = ids.astype("int32").tolist()
+        return pd.Series(out)
+
+    return nearest
+
+
+def kmeans_tree(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_coarse: int = 4,
+    n_sub: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    sample_frac: float | None = None,
+) -> tuple[list[list[float]], dict[int, list[list[float]]]]:
+    """Two-level deterministic k-means: fit ``n_coarse`` cells
+    (kmeans_centroids), then fit up to ``n_sub`` sub-centroids INSIDE
+    every cell — all cells trained together in one distributed job per
+    iteration (per-cell window-rank init, grouped mean recompute), not
+    a driver loop of per-cell fits. A cell the sample never reaches
+    keeps its coarse centroid as its single sub-centroid, so every
+    cell always has ≥ 1 list and assignment/probe stay total.
+
+    Why a tree: flat IVF assignment is one k×dim matmul per vector —
+    at the k ≈ √N lists a 10^9-vector corpus wants (tens of
+    thousands), that matmul dominates the build. The tree costs
+    n_coarse + n_sub distances per vector (≈ 2√k), the FAISS-style
+    coarse-quantizer trade, while keeping everything deterministic and
+    DataFrame-native."""
+    coarse = kmeans_centroids(
+        embeddings, vec_col, k=n_coarse, iters=iters, id_col=id_col,
+        sample_frac=sample_frac,
+    )
+    n_coarse = len(coarse)
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    if sample_frac is not None and sample_frac < 1.0:
+        m = 1_000_000
+        vecs = vecs.filter(
+            F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(m))
+            < int(sample_frac * m)
+        )
+    assign = make_nearest_centroids_udf(coarse, 1)
+    av = vecs.withColumn("_c", assign(F.col("_v"))[0])
+    # init: per cell, the n_sub vectors with the smallest id hash
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_c").orderBy(
+        F.xxhash64(F.col("_id").cast("string")), "_id"
+    )
+    init = (
+        av.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_sub)
+        .select("_c", "_r", "_v")
+        .collect()
+    )
+    subs: dict[int, list[list[float]]] = {}
+    for r in sorted(init, key=lambda r: (r["_c"], r["_r"])):
+        subs.setdefault(int(r["_c"]), []).append(list(r["_v"]))
+    for c in range(n_coarse):  # sample-empty cell: coarse centroid stands in
+        subs.setdefault(c, [list(coarse[c])])
+    for _ in range(iters):
+        sub_assign = make_nearest_sub_udf(subs, 1)
+        assigned = av.withColumn("_s", sub_assign(F.col("_c"), F.col("_v"))[0])
+        means = (
+            assigned.select("_c", "_s", F.posexplode("_v").alias("_p", "_x"))
+            .groupBy("_c", "_s", "_p")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_c", "_s")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_cent")
+            )
+            .collect()
+        )
+        new: dict[tuple[int, int], list[float]] = {
+            (int(r["_c"]), int(r["_s"])): list(r["_cent"]) for r in means
+        }
+        subs = {
+            c: [new.get((c, j), cur[j]) for j in range(len(cur))]
+            for c, cur in subs.items()
+        }
+    return coarse, subs
+
+
+class IVF2Index:
+    """A built two-level IVF index: coarse centroids + per-cell
+    sub-centroids (driver-side) and the assigned candidate table
+    (cand_id, cvec, _c) where ``_c = cell * n_sub + sub`` — the same
+    single-column list id the flat index uses, so the stored layout
+    (parquet partitioned by _c) and the probe join are identical."""
+
+    def __init__(
+        self,
+        assigned: DataFrame,
+        coarse: list[list[float]],
+        subs: dict[int, list[list[float]]],
+        n_sub: int,
+        persisted: bool = False,
+        path: str | None = None,
+    ):
+        self.assigned = assigned
+        self.coarse = coarse
+        self.subs = subs
+        self.n_sub = n_sub
+        self._persisted = persisted
+        self.path = path
+
+    def close(self) -> None:
+        if self._persisted:
+            self.assigned.unpersist()
+            self._persisted = False
+
+    def __enter__(self) -> "IVF2Index":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def build_ivf2_index(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_coarse: int = 4,
+    n_sub: int = 4,
+    iters: int = 3,
+    sample_frac: float | None = None,
+    path: str | None = None,
+    persist: bool = True,
+) -> IVF2Index:
+    """Fit the centroid tree and assign every candidate to its list in
+    the ONE full corpus pass: coarse argmin (n_coarse distances) then
+    sub argmin within the cell (≤ n_sub distances) — never the
+    n_coarse·n_sub flat matmul. Storage/caching contract matches
+    build_ivf_index (parquet partitioned by _c when ``path`` given)."""
+    coarse, subs = kmeans_tree(
+        embeddings, vec_col, n_coarse=n_coarse, n_sub=n_sub, iters=iters,
+        id_col=id_col, sample_frac=sample_frac,
+    )
+    c_assign = make_nearest_centroids_udf(coarse, 1)
+    s_assign = make_nearest_sub_udf(subs, 1)
+    assigned = (
+        embeddings.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+        )
+        .withColumn("_cc", c_assign(F.col("cvec"))[0])
+        .withColumn(
+            "_c", F.col("_cc") * n_sub + s_assign(F.col("_cc"), F.col("cvec"))[0]
+        )
+        .drop("_cc")
+    )
+    if path is not None:
+        assigned.write.mode("overwrite").partitionBy("_c").parquet(path)
+        stored = embeddings.sparkSession.read.parquet(path)
+        return IVF2Index(stored, coarse, subs, n_sub, path=path)
+    if persist:
+        assigned = assigned.persist()
+    return IVF2Index(assigned, coarse, subs, n_sub, persisted=persist)
+
+
+def make_tree_probe_udf(
+    coarse: list[list[float]],
+    subs: dict[int, list[list[float]]],
+    n_sub: int,
+    wprobe: int,
+    nprobe: int,
+):
+    """Factory: pandas UDF mapping a query vector to the ``array<int>``
+    of list ids to probe — the wprobe nearest coarse cells are opened,
+    all their sub-centroids scored, and the nprobe globally nearest
+    lists returned (ties by list id: deterministic). Per query this is
+    n_coarse + wprobe·n_sub distances, the tree's whole point."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(coarse, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    mats = {c: np.asarray(m, dtype=np.float64) for c, m in subs.items()}
+    norms = {c: (M * M).sum(axis=1) for c, M in mats.items()}
+    w = min(wprobe, len(coarse))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        dc = cn[None, :] - 2.0 * (M @ C.T)
+        cells = np.argsort(dc, axis=1, kind="stable")[:, :w]
+        out = []
+        for row, cs in zip(M, cells):
+            cand: list[tuple[float, int]] = []
+            for c in cs:
+                Cs, csn = mats[int(c)], norms[int(c)]
+                d = csn - 2.0 * (Cs @ row)
+                cand.extend(
+                    (float(dj), int(c) * n_sub + j) for j, dj in enumerate(d)
+                )
+            cand.sort()
+            out.append([lid for _, lid in cand[:nprobe]])
+        return pd.Series(out)
+
+    return probe
+
+
+def ivf2_probe(
+    index: IVF2Index,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 5,
+    wprobe: int = 2,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Probe a two-level index — identical join/score/rank tail to
+    ivf_probe (the list id column is the same shape), only the probe
+    list derivation goes through the tree. With wprobe == n_coarse and
+    nprobe ≥ total lists the result EQUALS brute force (each candidate
+    lives in exactly one list), which is the oracle configuration."""
+    probe = make_tree_probe_udf(
+        index.coarse, index.subs, index.n_sub, wprobe, nprobe
+    )
+    qry = queries.select(
+        "query_id", F.col(vec_col).alias("qvec")
+    ).withColumn("_probe", F.explode(probe(F.col("qvec"))))
+    cand = index.assigned
+    # same constraint nuance as ivf_probe: eqNullSafe for the in-memory
+    # index (plain == would re-run the assignment UDF as an extracted
+    # isnotnull constraint); plain equality for the stored index so the
+    # probe stays eligible for dynamic partition pruning
+    if index.path is not None:
+        cond = cand["_c"] == qry["_probe"]
+    else:
+        cond = cand["_c"].eqNullSafe(qry["_probe"])
+    paired = cand.join(qry, cond).filter(F.col("cand_id") != F.col("query_id"))
+    sim = _dot(F.col("cvec"), F.col("qvec")) / (
+        _norm(F.col("cvec")) * _norm(F.col("qvec"))
+    )
+    scored = paired.select(
+        "query_id", "cand_id", F.round(sim, round_to).alias("cosine")
+    )
+    from .topk import per_key_topk
+
+    return per_key_topk(
+        scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k=k
+    ).select("query_id", "cand_id", "cosine", "rnk")
+
+
+def ivf2_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_coarse: int = 4,
+    n_sub: int = 4,
+    wprobe: int = 2,
+    nprobe: int = 4,
+    iters: int = 3,
+    round_to: int = 6,
+    sample_frac: float | None = None,
+) -> DataFrame:
+    """One-shot two-level IVF top-k (no cache left behind); build the
+    index once with ``path`` for repeated probe batches."""
+    index = build_ivf2_index(
+        embeddings, id_col, vec_col, n_coarse=n_coarse, n_sub=n_sub,
+        iters=iters, sample_frac=sample_frac, persist=False,
+    )
+    return ivf2_probe(
+        index, queries, vec_col, k=k, wprobe=wprobe, nprobe=nprobe,
+        round_to=round_to,
+    )
+
+
 def _multi_table_sigs(vec, dim: int, n_planes: int, n_tables: int):
     """Array of (table, signature) structs — L independent hyperplane
     tables (seed offset per table). OR-amplification: a pair is a

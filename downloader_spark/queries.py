@@ -998,6 +998,29 @@ def q_embedding_knn_ivf(spark, sf_dir):
     )
 
 
+@_q("embedding_knn_ivf2", _KNN_ORACLE)
+def q_embedding_knn_ivf2(spark, sf_dir):
+    """TWO-LEVEL IVF (coarse -> sub centroid tree, r5) probing every
+    coarse cell and every list (wprobe = n_coarse, nprobe = all):
+    provably equal to brute force — proves the tree assignment
+    (cell·n_sub + sub) partitions the candidate set losslessly, same
+    contract as embedding_knn_ivf. The tree's purpose is the
+    list-count scale path (n_coarse + n_sub distances per vector
+    instead of the flat k matmul — 2·√k at the √N lists a 10^9-vector
+    corpus wants); the approximate configuration (wprobe < n_coarse)
+    is pinned by tests/test_similarity_text.py recall bounds."""
+    from .operators.similarity import ivf2_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf2_topk(
+        emb, queries_df, k=5, n_coarse=4, n_sub=2, wprobe=4, nprobe=8,
+        iters=2,
+    )
+
+
 @_q("embedding_knn_lsh", _KNN_ORACLE)
 def q_embedding_knn_lsh(spark, sf_dir):
     """LSH-bucketed approximate variant (the 100 TB scale path), run in

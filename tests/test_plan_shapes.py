@@ -208,3 +208,23 @@ def test_round4_text_operators_stay_native(spark):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_lm_perplexity_broadcasts_model_no_python(spark):
+    """The r5 perplexity scorer's scale contract: BOTH model tables
+    (pair + context) reach the bigram stream as broadcast hash joins —
+    the corpus text never shuffles into the lookup — the per-doc sum
+    partial-aggregates map-side, and there is zero Python in the plan.
+    The only non-broadcast join is the doc_id join-back (same
+    cardinality both sides at scale: correctly NOT a broadcast)."""
+    import re
+
+    from downloader_spark.queries import Q
+
+    plan = explain_str(Q["lm_perplexity"](spark, SF_ORACLE))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_count" in plan or "partial_sum" in plan

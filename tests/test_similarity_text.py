@@ -233,6 +233,79 @@ def test_build_ivf_index_store_and_probe(vecs, tmp_path):
     assert ivf_probe(index, qry2, k=2, nprobe=6).count() == 2
 
 
+def test_ivf2_exhaustive_probe_equals_exact(vecs):
+    """Two-level IVF with every coarse cell opened and every list
+    probed must equal brute force exactly — each candidate lives in
+    exactly one (cell, sub) list, so the tree partitions the candidate
+    set losslessly, same contract as the flat index."""
+    from downloader_spark.operators.similarity import cosine_topk, ivf2_topk
+
+    df, _ = vecs
+    qry = df.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rnk"]): (r["cand_id"], r["cosine"])
+        for r in cosine_topk(df, qry, k=4).collect()
+    }
+    got = {
+        (r["query_id"], r["rnk"]): (r["cand_id"], r["cosine"])
+        for r in ivf2_topk(
+            df, qry, k=4, n_coarse=3, n_sub=2, wprobe=3, nprobe=6, iters=2
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivf2_tree_assignment_store_and_recall(vecs, tmp_path):
+    """Tree invariants: list ids stay in [0, n_coarse·n_sub); the
+    decoded coarse cell of every assigned candidate equals its true
+    coarse argmin (the tree never routes a vector through a foreign
+    cell); the stored index is partitioned by list id; a partial probe
+    (wprobe < n_coarse) still recovers the colinear neighbor (query's
+    own cell is always opened) and returns a subset of the exact
+    space's pairs."""
+    import os
+
+    import numpy as np
+
+    from downloader_spark.operators.similarity import (
+        build_ivf2_index, cosine_topk, ivf2_probe,
+    )
+
+    df, data = vecs
+    idx_path = str(tmp_path / "ivf2_index")
+    index = build_ivf2_index(
+        df, n_coarse=3, n_sub=2, iters=2, path=idx_path
+    )
+    assert any(d.startswith("_c=") for d in os.listdir(idx_path))
+    rows = index.assigned.select("cand_id", "_c").collect()
+    C = np.asarray(index.coarse, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    for r in rows:
+        lid = int(r["_c"])
+        assert 0 <= lid < 3 * 2
+        v = data[int(r["cand_id"])].astype("float64")
+        true_cell = int(np.argmin(cn - 2.0 * (C @ v)))
+        assert lid // 2 == true_cell, (r["cand_id"], lid, true_cell)
+    # every cell has >= 1 sub-centroid (sample-empty cells fall back
+    # to the coarse centroid), so assignment is total
+    assert set(index.subs) == {0, 1, 2}
+    assert all(len(m) >= 1 for m in index.subs.values())
+    qry = df.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact1 = {
+        r["query_id"]: r["cand_id"] for r in cosine_topk(df, qry, k=1).collect()
+    }
+    approx = ivf2_probe(index, qry, k=4, wprobe=2, nprobe=3).collect()
+    assert all(r["cand_id"] != r["query_id"] for r in approx)
+    top1 = {r["query_id"]: r["cand_id"] for r in approx if r["rnk"] == 1}
+    # vec 10 = 2 * vec 0 (cosine 1.0): same direction -> same coarse
+    # cell AND same sub-list, recovered even at wprobe=2
+    assert top1[0] == exact1[0] == 10
+
+
 def test_ivf_k256_centroids_and_sampled_fit(spark):
     """k-means assignment through the pandas-UDF matmul scales past the
     old k ≲ 64 unrolled-projection cap: 256 centroids over 1500 vectors
