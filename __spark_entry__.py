@@ -35,4 +35,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from downloader_spark.queries import ORACLE
 
-    return dict(ORACLE)
+    # resolved(): generated oracles are stored as callables and built
+    # on access (plain dict(ORACLE) would leak the raw callable)
+    return ORACLE.resolved()

@@ -63,6 +63,21 @@ def _words(text: str) -> list[str]:
     return t.split(" ") if t else []
 
 
+def norm_words_col(text):
+    """Column-side mirror of ``_words`` (lower, collapse \\s+, split on
+    single spaces; empty text -> empty array). MUST stay in lockstep
+    with ``_words`` — every operator that compares a Spark word stream
+    against a Python/SQL recompute (BPE token counts, the LM
+    perplexity scorer) routes through this ONE pair, so a
+    normalization tweak can never desynchronize the engines."""
+    from pyspark.sql import functions as F
+
+    t = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+
+
 def _merge_all(toks: tuple, a: str, b: str) -> tuple:
     out, i, ab = [], 0, a + b
     while i < len(toks):
@@ -133,7 +148,19 @@ def default_merges(n_merges: int = DEFAULT_N_MERGES) -> list[tuple[str, str]]:
                     DEFAULT_VOCAB_CORPUS, columns=["text"]
                 ).column("text").to_pylist()
             ]
-        except Exception:
+        except Exception as e:
+            # importable without the fixture, but never SILENTLY: a
+            # toy-vocab tokenizer passes every parity gate (oracle and
+            # UDF share the merge list), so the degradation must be loud
+            import warnings
+
+            warnings.warn(
+                f"default_merges: could not read {DEFAULT_VOCAB_CORPUS} "
+                f"({e!r}); training on the bundled toy fallback corpus — "
+                "token counts will NOT reflect the seed-corpus vocab",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             texts = [_FALLBACK_CORPUS]
         _DEFAULT_MERGES = train_bpe(texts, n_merges)
     return _DEFAULT_MERGES

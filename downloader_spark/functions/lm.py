@@ -146,6 +146,7 @@ def default_lm() -> dict:
     functions/bpe.py default_merges pattern)."""
     global _DEFAULT_LM
     if _DEFAULT_LM is None:
+        corpus = DEFAULT_LM_CORPUS
         try:
             import pyarrow.parquet as pq
 
@@ -155,9 +156,24 @@ def default_lm() -> dict:
                 .column("text")
                 .to_pylist()
             ]
-        except Exception:
+        except Exception as e:
+            # the fallback keeps the module importable on hosts without
+            # the fixture, but a silently-degraded model would pass
+            # every parity gate (both engines derive from the same
+            # dict) — so warn LOUDLY and record provenance in the model
+            import warnings
+
+            warnings.warn(
+                f"default_lm: could not read {DEFAULT_LM_CORPUS} ({e!r}); "
+                "training on the bundled toy fallback corpus — perplexity "
+                "scores/buckets will NOT reflect the seed corpus",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             texts = list(_FALLBACK_CORPUS)
+            corpus = "<builtin-fallback>"
         _DEFAULT_LM = train_bigram_lm(texts)
+        _DEFAULT_LM["corpus"] = corpus
     return _DEFAULT_LM
 
 
@@ -180,11 +196,11 @@ def lm_sql_ctes(model: dict) -> str:
 
 
 def _norm_words(text: Column) -> Column:
-    """Word array under the model's normalization (empty-text -> [])."""
-    t = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, " ")
-    )
+    """Word array under the model's normalization (empty-text -> []) —
+    the shared Column-side mirror of bpe._words (single lockstep pair)."""
+    from .bpe import norm_words_col
+
+    return norm_words_col(text)
 
 
 def score_perplexity(

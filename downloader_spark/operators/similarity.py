@@ -495,47 +495,56 @@ def kmeans_tree(
             < int(sample_frac * m)
         )
     assign = make_nearest_centroids_udf(coarse, 1)
-    av = vecs.withColumn("_c", assign(F.col("_v"))[0])
-    # init: per cell, the n_sub vectors with the smallest id hash
-    from pyspark.sql.window import Window
+    # the coarse centroids never change below, so the sampled
+    # assignment frame is computed ONCE and cached: without the persist
+    # the init collect plus every Lloyd iteration would re-run the
+    # source scan + hash-sample + coarse matmul UDF (iters+1 passes)
+    av = vecs.withColumn("_c", assign(F.col("_v"))[0]).persist()
+    try:
+        # init: per cell, the n_sub vectors with the smallest id hash
+        from pyspark.sql.window import Window
 
-    w = Window.partitionBy("_c").orderBy(
-        F.xxhash64(F.col("_id").cast("string")), "_id"
-    )
-    init = (
-        av.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_sub)
-        .select("_c", "_r", "_v")
-        .collect()
-    )
-    subs: dict[int, list[list[float]]] = {}
-    for r in sorted(init, key=lambda r: (r["_c"], r["_r"])):
-        subs.setdefault(int(r["_c"]), []).append(list(r["_v"]))
-    for c in range(n_coarse):  # sample-empty cell: coarse centroid stands in
-        subs.setdefault(c, [list(coarse[c])])
-    for _ in range(iters):
-        sub_assign = make_nearest_sub_udf(subs, 1)
-        assigned = av.withColumn("_s", sub_assign(F.col("_c"), F.col("_v"))[0])
-        means = (
-            assigned.select("_c", "_s", F.posexplode("_v").alias("_p", "_x"))
-            .groupBy("_c", "_s", "_p")
-            .agg(F.avg("_x").alias("_m"))
-            .groupBy("_c", "_s")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_p", "_m"))),
-                    lambda s: s["_m"],
-                ).alias("_cent")
-            )
+        w = Window.partitionBy("_c").orderBy(
+            F.xxhash64(F.col("_id").cast("string")), "_id"
+        )
+        init = (
+            av.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n_sub)
+            .select("_c", "_r", "_v")
             .collect()
         )
-        new: dict[tuple[int, int], list[float]] = {
-            (int(r["_c"]), int(r["_s"])): list(r["_cent"]) for r in means
-        }
-        subs = {
-            c: [new.get((c, j), cur[j]) for j in range(len(cur))]
-            for c, cur in subs.items()
-        }
+        subs: dict[int, list[list[float]]] = {}
+        for r in sorted(init, key=lambda r: (r["_c"], r["_r"])):
+            subs.setdefault(int(r["_c"]), []).append(list(r["_v"]))
+        for c in range(n_coarse):  # sample-empty cell: coarse centroid stands in
+            subs.setdefault(c, [list(coarse[c])])
+        for _ in range(iters):
+            sub_assign = make_nearest_sub_udf(subs, 1)
+            assigned = av.withColumn(
+                "_s", sub_assign(F.col("_c"), F.col("_v"))[0]
+            )
+            means = (
+                assigned.select("_c", "_s", F.posexplode("_v").alias("_p", "_x"))
+                .groupBy("_c", "_s", "_p")
+                .agg(F.avg("_x").alias("_m"))
+                .groupBy("_c", "_s")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                        lambda s: s["_m"],
+                    ).alias("_cent")
+                )
+                .collect()
+            )
+            new: dict[tuple[int, int], list[float]] = {
+                (int(r["_c"]), int(r["_s"])): list(r["_cent"]) for r in means
+            }
+            subs = {
+                c: [new.get((c, j), cur[j]) for j in range(len(cur))]
+                for c, cur in subs.items()
+            }
+    finally:
+        av.unpersist()
     return coarse, subs
 
 

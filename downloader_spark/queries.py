@@ -24,10 +24,33 @@ from .operators.dedup import exact_dup_groups
 from .operators.topk import history_page, per_key_topk
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE: dict[str, str] = {}
 
 
-def _q(name: str, oracle: str | None = None):
+class _LazyOracleDict(dict):
+    """Oracle registry whose values may be ZERO-ARG CALLABLES, resolved
+    and cached on first item access — a generated oracle (lm_perplexity
+    trains the LM / reads parquet to build its VALUES tables) must not
+    run at module import for every process that merely imports the
+    query registry (crawl runs, bench sections, unrelated tests).
+    NOTE: ``dict(ORACLE)`` would bypass ``__getitem__`` (CPython copies
+    the concrete dict storage) and leak the raw callable — use
+    ``resolved()`` or per-key access."""
+
+    def __getitem__(self, k):
+        v = super().__getitem__(k)
+        if callable(v):
+            v = v()
+            super().__setitem__(k, v)
+        return v
+
+    def resolved(self) -> dict[str, str]:
+        return {k: self[k] for k in self}
+
+
+ORACLE: _LazyOracleDict = _LazyOracleDict()
+
+
+def _q(name: str, oracle: str | Callable[[], str] | None = None):
     def deco(fn):
         Q[name] = fn
         if oracle is not None:
@@ -3089,7 +3112,7 @@ def _lm_oracle_sql() -> str:
     """
 
 
-@_q("lm_perplexity", _lm_oracle_sql())
+@_q("lm_perplexity", _lm_oracle_sql)  # callable: resolved lazily on access
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM perplexity filter (Wenzek et al. 2020): score
     every document with the build-time add-one bigram LM and bucket
