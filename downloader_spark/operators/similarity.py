@@ -465,7 +465,12 @@ def kmeans_tree(
     id_col: str = "vec_id",
     sample_frac: float | None = None,
 ) -> tuple[list[list[float]], dict[int, list[list[float]]]]:
-    """Two-level deterministic k-means: fit ``n_coarse`` cells
+    """Two-level k-means — deterministic GIVEN fixed centroid floats
+    (init is hash-ranked, but the Lloyd mean recompute uses F.avg over
+    doubles, whose partial-agg order varies with partitioning, so
+    sub-centroid low bits — and hence approximate wprobe<n_coarse probe
+    sets — are not strictly run-reproducible; the probe-all oracle
+    config is immune): fit ``n_coarse`` cells
     (kmeans_centroids), then fit up to ``n_sub`` sub-centroids INSIDE
     every cell — all cells trained together in one distributed job per
     iteration (per-cell window-rank init, grouped mean recompute), not
@@ -477,8 +482,7 @@ def kmeans_tree(
     at the k ≈ √N lists a 10^9-vector corpus wants (tens of
     thousands), that matmul dominates the build. The tree costs
     n_coarse + n_sub distances per vector (≈ 2√k), the FAISS-style
-    coarse-quantizer trade, while keeping everything deterministic and
-    DataFrame-native."""
+    coarse-quantizer trade, expressed DataFrame-native end to end."""
     coarse = kmeans_centroids(
         embeddings, vec_col, k=n_coarse, iters=iters, id_col=id_col,
         sample_frac=sample_frac,

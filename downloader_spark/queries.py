@@ -43,6 +43,21 @@ class _LazyOracleDict(dict):
             super().__setitem__(k, v)
         return v
 
+    # every value-returning accessor routes through __getitem__ so the
+    # lazy contract can't be bypassed (ADVICE r5: .get()/.values()/
+    # .items() used to hand back the raw callable)
+    def get(self, k, default=None):
+        try:
+            return self[k]
+        except KeyError:
+            return default
+
+    def values(self):
+        return [self[k] for k in self]
+
+    def items(self):
+        return [(k, self[k]) for k in self]
+
     def resolved(self) -> dict[str, str]:
         return {k: self[k] for k in self}
 
@@ -2896,9 +2911,15 @@ def _bpe_oracle_common() -> str:
     """.replace("{values}", merges_sql_values(default_merges()))
 
 
+# oracle registered as a ZERO-ARG CALLABLE (resolved lazily by
+# _LazyOracleDict): _bpe_oracle_common() trains the vocab from the
+# fixture parquet — that must not run at module import (ADVICE r5).
+# n_words tests emptiness of the COLLAPSED string, not raw trim():
+# DuckDB trim strips only spaces, so a '\n'-only doc would otherwise
+# count 1 word vs Spark's 0 (the invariant-8 trailing-'\n' class).
 @_q(
     "bpe_token_counts",
-    _bpe_oracle_common()
+    lambda: _bpe_oracle_common()
     + r"""
     , occ AS (
       SELECT doc_id, unnest(w) AS word FROM base
@@ -2907,7 +2928,8 @@ def _bpe_oracle_common() -> str:
       FROM occ JOIN wordtok ON occ.word = wordtok.w GROUP BY doc_id
     )
     SELECT base.doc_id,
-           CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(w) END AS BIGINT) AS n_words,
+           CAST(CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = ''
+                THEN 0 ELSE len(w) END AS BIGINT) AS n_words,
            COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens
     FROM base LEFT JOIN agg USING (doc_id) ORDER BY base.doc_id
     """,
@@ -2938,7 +2960,7 @@ def q_bpe_token_counts(spark, sf_dir):
 
 @_q(
     "bpe_token_windows",
-    _bpe_oracle_common()
+    lambda: _bpe_oracle_common()
     + r"""
     , pos AS (
       SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word FROM base
