@@ -52,6 +52,7 @@ HEADLINE = [
     "token_windows",
     "pii_redact",
     "webtext_pipeline",
+    "webtext_pipeline_fuzzy",
     "decontaminate",
     "link_pagerank",
     "corpus_rollup",

@@ -1595,10 +1595,141 @@ def q_drop_repeated_spans(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@_q(
-    "webtext_pipeline",
-    r"""
-    WITH multiline AS (
+def _webtext_seeded_corpus(spark, sf_dir):
+    """(docs, multiline, corpus) for the webtext pipeline family —
+    the multiline boilerplate injection plus the five pathological
+    seeded branches (verbatim copies, symbol-heavy, bullet-soup,
+    digits-for-letters, repeated-line). Kept in LOCKSTEP with
+    _WEBTEXT_CORE_SQL's corpus CTE (CLAUDE.md invariant 8)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    bp = (
+        F.when(d % 3 == 0, F.lit("Subscribe to our newsletter for daily updates"))
+        .when(d % 3 == 1, F.lit("All rights reserved - copyright notice"))
+        .otherwise(F.lit("Click here to accept cookies and continue"))
+    )
+    multiline = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80), F.lit("\n"), bp, F.lit("\n"),
+            F.substring("text", 81, 100),
+        ).alias("text"),
+    )
+    corpus = (
+        multiline
+        .unionByName(
+            multiline.filter(d % 25 == 0)
+            .select((d + 5000000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            docs.filter(d % 20 == 0).select(
+                (d + 1000000).alias("doc_id"),
+                F.concat(F.lit("#" * 40 + " "), "text").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 30 == 0).select(
+                (d + 2000000).alias("doc_id"),
+                F.concat(
+                    F.lit("- "),
+                    F.replace(F.substring("text", 1, 60), F.lit(" "), F.lit("\n- ")),
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 25 == 0).select(
+                (d + 4000000).alias("doc_id"),
+                F.regexp_replace("text", "[a-z]", "7").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 35 == 0).select(
+                (d + 6000000).alias("doc_id"),
+                F.concat(
+                    F.repeat(F.concat(F.substring("text", 1, 50), F.lit("\n")), 7),
+                    F.substring("text", 1, 50),
+                ).alias("text"),
+            )
+        )
+    )
+    return docs, multiline, corpus
+
+
+def _webtext_gate(spark, corpus):
+    """Gopher gate stage shared by the webtext pipeline family: content
+    rules plus the three length-robust repetition rules (see
+    q_webtext_pipeline's docstring for why the length gate and the
+    top-3/4-gram rules are deliberately not applied here)."""
+    from .functions.text import gopher_flags, with_repetition
+
+    fl = gopher_flags(F.col("text"))
+    # spread the per-row HOF gate work across cores (single-file toy
+    # fixture -> one scan partition per union branch; free at scale)
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        with_repetition(
+            corpus.withColumn("_fl", fl),
+            features=["dup_line_frac", "dup_para_frac", "top_2gram_char_frac"],
+        )
+        .filter(
+            ~F.col("_fl.word_len_out") & ~F.col("_fl.symbol_heavy")
+            & ~F.col("_fl.bullet_heavy") & ~F.col("_fl.ellipsis_heavy")
+            & ~F.col("_fl.low_alpha")
+            & ~F.col("dup_line_heavy") & ~F.col("dup_para_heavy")
+            & ~F.col("top_2gram_heavy")
+        )
+        .select("doc_id", "text")
+    )
+
+
+def _webtext_survivors(spark, gated):
+    """drop_repeated_spans + exact dedup on cleaned text → one row per
+    distinct cleaned_text with n_tokens > 0 (the `survivors` CTE of
+    _WEBTEXT_CORE_SQL). Returns (survivors_df, ckpt_ids): the gate is
+    materialized once via tracked checkpoint and FREED here; the
+    survivors frame is checkpoint-materialized and its ids returned so
+    the caller can free it after its own result materializes."""
+    from .operators.dedup import _ckpt_tracked, _drop_ckpt, drop_repeated_spans
+
+    gated, gate_ids = _ckpt_tracked(gated)
+    cleaned = drop_repeated_spans(
+        gated, "doc_id", F.col("text"), min_df=3, min_words=3
+    )
+    collapsed = F.trim(F.regexp_replace("cleaned_text", r"\s+", " "))
+    survivors = (
+        cleaned.groupBy("cleaned_text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_exact_dups"),
+            F.min("n_dropped_lines").alias("n_dropped_lines"),
+        )
+        .select(
+            "doc_id", "cleaned_text", "n_exact_dups", "n_dropped_lines",
+            # collapse-first count (NOT token_count): cleaned text can
+            # END with '\n' (last kept line empty) and Spark's trim()
+            # strips only spaces, so split('\s+') would keep a trailing
+            # empty token — collapse whitespace first, like the oracle
+            F.when(collapsed == "", F.lit(0))
+            .otherwise(F.size(F.split(collapsed, " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)  # drop fully-scrubbed docs
+    )
+    survivors, surv_ids = _ckpt_tracked(survivors)
+    _drop_ckpt(gated, gate_ids)  # free the gate blocks immediately
+    return survivors, surv_ids
+
+
+# Shared SQL core for the webtext pipeline family: seeded corpus →
+# Gopher gate (content + length-robust repetition rules) →
+# drop_repeated_spans → exact dedup on cleaned text, ending in a
+# `survivors` CTE. `{extra_corpus}` lets the fuzzy variant seed
+# additional near-verbatim families; the base pipeline replaces it
+# with ''. WITH RECURSIVE is inert for the base tail and required by
+# the fuzzy tail's reachability CTE.
+_WEBTEXT_CORE_SQL = r"""
+    WITH RECURSIVE multiline AS (
       SELECT doc_id,
         substr(text, 1, 80) || chr(10) ||
         CASE doc_id % 3 WHEN 0 THEN 'Subscribe to our newsletter for daily updates'
@@ -1618,7 +1749,7 @@ def q_drop_repeated_spans(spark, sf_dir):
         FROM documents WHERE doc_id % 25 = 0
       UNION ALL SELECT doc_id + 6000000,
         repeat(substr(text, 1, 50) || chr(10), 7) || substr(text, 1, 50)
-        FROM documents WHERE doc_id % 35 = 0
+        FROM documents WHERE doc_id % 35 = 0{extra_corpus}
     ), feat AS (
       SELECT doc_id, text,
         split(text, chr(10)) AS lines,
@@ -1690,17 +1821,27 @@ def q_drop_repeated_spans(spark, sf_dir):
                             chr(10) ORDER BY pos), '') AS cleaned_text,
         CAST(SUM(CASE WHEN dropme THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_lines
       FROM flagged GROUP BY doc_id
+    ), survivors AS (
+      SELECT * FROM (
+        SELECT MIN(doc_id) AS doc_id,
+               cleaned_text,
+               CAST(COUNT(*) AS BIGINT) AS n_exact_dups,
+               MIN(n_dropped_lines) AS n_dropped_lines,
+               CAST(CASE WHEN trim(cleaned_text) = '' THEN 0
+                    ELSE len(string_split(trim(regexp_replace(cleaned_text,
+                         '\s+', ' ', 'g')), ' ')) END AS BIGINT) AS n_tokens
+        FROM cleaned GROUP BY cleaned_text
+      ) WHERE n_tokens > 0
     )
-    SELECT * FROM (
-      SELECT MIN(doc_id) AS doc_id,
-             cleaned_text,
-             CAST(COUNT(*) AS BIGINT) AS n_exact_dups,
-             MIN(n_dropped_lines) AS n_dropped_lines,
-             CAST(CASE WHEN trim(cleaned_text) = '' THEN 0
-                  ELSE len(string_split(trim(regexp_replace(cleaned_text,
-                       '\s+', ' ', 'g')), ' ')) END AS BIGINT) AS n_tokens
-      FROM cleaned GROUP BY cleaned_text
-    ) WHERE n_tokens > 0 ORDER BY doc_id
+"""
+
+
+@_q(
+    "webtext_pipeline",
+    _WEBTEXT_CORE_SQL.replace("{extra_corpus}", "")
+    + """
+    SELECT doc_id, cleaned_text, n_exact_dups, n_dropped_lines, n_tokens
+    FROM survivors ORDER BY doc_id
     """,
 )
 def q_webtext_pipeline(spark, sf_dir):
@@ -1719,126 +1860,158 @@ def q_webtext_pipeline(spark, sf_dir):
     turns near-identical docs identical — the order matters and the
     seeded +5M verbatim copies prove it: they merge into their
     originals, n_exact_dups=2); final token count per survivor. One
-    oracle recomputes the whole chain char-exact."""
-    from .functions.text import gopher_flags, with_repetition
-    from .operators.dedup import drop_repeated_spans
+    oracle recomputes the whole chain char-exact. The gate is
+    MATERIALIZED once (tracked checkpoint inside _webtext_survivors):
+    drop_repeated_spans consumes it in two subtrees and the 5-way
+    union under HOF-heavy gopher features would evaluate twice (plan
+    showed 20 parquet scans)."""
+    _docs, _multiline, corpus = _webtext_seeded_corpus(spark, sf_dir)
+    gated = _webtext_gate(spark, corpus)
+    survivors, surv_ids = _webtext_survivors(spark, gated)
+    # small survivor table — TRACKED so a long-lived caller can free it
+    # via operators.dedup.release_result once consumed (ADVICE r4);
+    # already checkpoint-materialized, so orderBy is plan-only on top
+    out = survivors.orderBy("doc_id")
+    out._ckpt_ids = surv_ids
+    return out
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+# Near-verbatim seeded families for the fuzzy pipeline: every 15th
+# multiline doc re-unioned with two words appended INLINE to its last
+# line (and a second variant on every 45th) — appended inline so the
+# extra words survive span removal (a standalone appended LINE would
+# have doc-frequency ≥ 3 and be dropped, collapsing the variant back
+# into an exact dup). After cleaning, variant vs source differ by two
+# trailing words: 3-gram Jaccard ≈ (n-2)/n ≥ 0.8 on ~15-word docs —
+# near-verbatim, NOT verbatim, so only the fuzzy stage can merge them.
+_FUZZY_EXTRA_CORPUS_SQL = """
+      UNION ALL SELECT doc_id + 7000000, text || ' revised edition'
+        FROM multiline WHERE doc_id % 15 = 0
+      UNION ALL SELECT doc_id + 8000000, text || ' second printing'
+        FROM multiline WHERE doc_id % 45 = 0"""
+
+_FUZZY_TAIL_SQL = r"""
+    , snorm AS (
+      SELECT doc_id, trim(regexp_replace(lower(cleaned_text), '\s+', ' ', 'g')) AS t
+      FROM survivors
+    ), stoks AS (
+      SELECT doc_id, t, string_split(t, ' ') AS w FROM snorm
+    ), sgrams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [t] END AS gs
+      FROM stoks
+    ), sex AS (
+      SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM sgrams
+    ), jp AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS n_common,
+               ANY_VALUE(a.n) AS n_a, ANY_VALUE(b.n) AS n_b
+        FROM sex a JOIN sex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) WHERE ROUND(n_common * 1.0 / (n_a + n_b - n_common), 6) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM jp
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node, MIN(label) AS keeper FROM reach GROUP BY node
+    ), merged AS (
+      SELECT COALESCE(c.keeper, s.doc_id) AS keeper, s.doc_id, s.cleaned_text,
+             s.n_exact_dups, s.n_dropped_lines, s.n_tokens
+      FROM survivors s LEFT JOIN comp c ON s.doc_id = c.node
+    )
+    SELECT keeper AS doc_id,
+           min_by(cleaned_text, doc_id) AS cleaned_text,
+           CAST(COUNT(*) AS BIGINT) AS n_fuzzy_variants,
+           CAST(SUM(n_exact_dups) AS BIGINT) AS n_docs_total,
+           min_by(n_dropped_lines, doc_id) AS n_dropped_lines,
+           min_by(n_tokens, doc_id) AS n_tokens
+    FROM merged GROUP BY keeper ORDER BY doc_id
+    """
+
+
+@_q(
+    "webtext_pipeline_fuzzy",
+    _WEBTEXT_CORE_SQL.replace("{extra_corpus}", _FUZZY_EXTRA_CORPUS_SQL)
+    + _FUZZY_TAIL_SQL,
+)
+def q_webtext_pipeline_fuzzy(spark, sf_dir):
+    """The flagship pipeline with the FUZZY doc-level dedup stage the
+    public webtext recipes (RefinedWeb §3, Gopher A1.2, FineWeb) run
+    after exact dedup — VERDICT r5 #1: gate → span removal → exact
+    dedup → MinHash-LSH candidates verified by exact shingle Jaccard
+    (minhash_verified_pairs) → connected components
+    (connected_keepers) → keep one doc per component. The corpus adds
+    seeded NEAR-verbatim families (two words appended inline) that
+    exact dedup cannot merge; with single-row bands (32/32) LSH recall
+    at J ≥ 0.5 is 1−(1−J)^32 ≥ 1−2.4e-10, so the output equals an
+    exact all-pairs recompute and the DuckDB oracle re-runs the WHOLE
+    chain — gate, cleaning, exact dedup, Jaccard pairs, recursive-CTE
+    reachability — char-exact per keeper. Per component: keeper = min
+    doc_id, n_fuzzy_variants = exact-survivors merged, n_docs_total =
+    raw docs absorbed (exact + fuzzy). Scale shape: the fuzzy stage
+    runs on exact-dedup SURVIVORS only (already checkpoint-
+    materialized, orders of magnitude smaller than the corpus at
+    100 TB), candidates are LSH-bucketed (never all-pairs), and
+    components converge in O(log diameter) pointer-jumping rounds."""
+    from .operators.dedup import (
+        _ckpt_tracked,
+        _drop_ckpt,
+        connected_keepers,
+        minhash_verified_pairs,
+    )
+
+    _docs, multiline, corpus = _webtext_seeded_corpus(spark, sf_dir)
     d = F.col("doc_id")
-    bp = (
-        F.when(d % 3 == 0, F.lit("Subscribe to our newsletter for daily updates"))
-        .when(d % 3 == 1, F.lit("All rights reserved - copyright notice"))
-        .otherwise(F.lit("Click here to accept cookies and continue"))
-    )
-    multiline = docs.select(
-        "doc_id",
-        F.concat(
-            F.substring("text", 1, 80), F.lit("\n"), bp, F.lit("\n"),
-            F.substring("text", 81, 100),
-        ).alias("text"),
-    )
-    corpus = (
-        multiline
-        .unionByName(
-            multiline.filter(d % 25 == 0)
-            .select((d + 5000000).alias("doc_id"), "text")
+    corpus = corpus.unionByName(
+        multiline.filter(d % 15 == 0).select(
+            (d + 7000000).alias("doc_id"),
+            F.concat("text", F.lit(" revised edition")).alias("text"),
         )
-        .unionByName(
-            docs.filter(d % 20 == 0).select(
-                (d + 1000000).alias("doc_id"),
-                F.concat(F.lit("#" * 40 + " "), "text").alias("text"),
-            )
-        )
-        .unionByName(
-            docs.filter(d % 30 == 0).select(
-                (d + 2000000).alias("doc_id"),
-                F.concat(
-                    F.lit("- "),
-                    F.replace(F.substring("text", 1, 60), F.lit(" "), F.lit("\n- ")),
-                ).alias("text"),
-            )
-        )
-        .unionByName(
-            docs.filter(d % 25 == 0).select(
-                (d + 4000000).alias("doc_id"),
-                F.regexp_replace("text", "[a-z]", "7").alias("text"),
-            )
-        )
-        .unionByName(
-            docs.filter(d % 35 == 0).select(
-                (d + 6000000).alias("doc_id"),
-                F.concat(
-                    F.repeat(F.concat(F.substring("text", 1, 50), F.lit("\n")), 7),
-                    F.substring("text", 1, 50),
-                ).alias("text"),
-            )
+    ).unionByName(
+        multiline.filter(d % 45 == 0).select(
+            (d + 8000000).alias("doc_id"),
+            F.concat("text", F.lit(" second printing")).alias("text"),
         )
     )
-    fl = gopher_flags(F.col("text"))
-    # spread the per-row HOF gate work across cores (single-file toy
-    # fixture -> one scan partition per union branch; free at scale)
-    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
-    gated = (
-        with_repetition(
-            corpus.withColumn("_fl", fl),
-            features=["dup_line_frac", "dup_para_frac", "top_2gram_char_frac"],
-        )
-        .filter(
-            ~F.col("_fl.word_len_out") & ~F.col("_fl.symbol_heavy")
-            & ~F.col("_fl.bullet_heavy") & ~F.col("_fl.ellipsis_heavy")
-            & ~F.col("_fl.low_alpha")
-            & ~F.col("dup_line_heavy") & ~F.col("dup_para_heavy")
-            & ~F.col("top_2gram_heavy")
-        )
-        .select("doc_id", "text")
+    gated = _webtext_gate(spark, corpus)
+    survivors, surv_ids = _webtext_survivors(spark, gated)
+    pairs = minhash_verified_pairs(
+        survivors, "doc_id", F.col("cleaned_text"),
+        num_hashes=32, bands=32, shingle_k=3, threshold=0.5,
     )
-    # MATERIALIZE the gate once: drop_repeated_spans consumes its input
-    # in two subtrees (line doc-frequency + reassembly), and the gate —
-    # the 5-way union under HOF-heavy gopher features, the pipeline's
-    # most expensive stage — would evaluate twice (plan showed 20
-    # parquet scans). Tracked checkpoint, freed after the final result
-    # materializes below; output verified hash-identical.
-    from .operators.dedup import _ckpt_tracked, _drop_ckpt
-
-    gated, _gate_ids = _ckpt_tracked(gated)
-    cleaned = drop_repeated_spans(
-        gated, "doc_id", F.col("text"), min_df=3, min_words=3
+    comp = connected_keepers(pairs)
+    merged = survivors.join(comp, survivors["doc_id"] == comp["node"], "left").select(
+        F.coalesce("keeper", survivors["doc_id"]).alias("keeper"),
+        survivors["doc_id"].alias("sdoc_id"),
+        "cleaned_text", "n_exact_dups", "n_dropped_lines", "n_tokens",
     )
     out = (
-        cleaned.groupBy("cleaned_text")
+        merged.groupBy("keeper")
         .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.count(F.lit(1)).cast("long").alias("n_exact_dups"),
-            F.min("n_dropped_lines").alias("n_dropped_lines"),
+            F.min_by("cleaned_text", "sdoc_id").alias("cleaned_text"),
+            F.count(F.lit(1)).cast("long").alias("n_fuzzy_variants"),
+            F.sum("n_exact_dups").cast("long").alias("n_docs_total"),
+            F.min_by("n_dropped_lines", "sdoc_id").alias("n_dropped_lines"),
+            F.min_by("n_tokens", "sdoc_id").alias("n_tokens"),
         )
         .select(
-            "doc_id", "cleaned_text", "n_exact_dups", "n_dropped_lines",
-            # collapse-first count (NOT token_count): cleaned text can
-            # END with '\n' (last kept line empty) and Spark's trim()
-            # strips only spaces, so split('\s+') would keep a trailing
-            # empty token — collapse whitespace first, like the oracle
-            F.when(
-                F.trim(F.regexp_replace("cleaned_text", r"\s+", " ")) == "",
-                F.lit(0),
-            )
-            .otherwise(
-                F.size(
-                    F.split(
-                        F.trim(F.regexp_replace("cleaned_text", r"\s+", " ")), " "
-                    )
-                )
-            )
-            .cast("long")
-            .alias("n_tokens"),
+            F.col("keeper").alias("doc_id"), "cleaned_text",
+            "n_fuzzy_variants", "n_docs_total", "n_dropped_lines", "n_tokens",
         )
-        .filter(F.col("n_tokens") > 0)  # drop fully-scrubbed docs
         .orderBy("doc_id")
     )
-    # small survivor table — TRACKED so a long-lived caller can free it
-    # via operators.dedup.release_result once consumed (ADVICE r4)
-    out, _out_ids = _ckpt_tracked(out)
-    out._ckpt_ids = _out_ids
-    _drop_ckpt(gated, _gate_ids)  # free the gate blocks immediately
+    out, out_ids = _ckpt_tracked(out)
+    out._ckpt_ids = out_ids
+    _drop_ckpt(survivors, surv_ids)
     return out
 
 
@@ -3167,3 +3340,28 @@ def q_lm_perplexity(spark, sf_dir):
         .select("doc_id", "n_bigrams", "nll_micro", "mean_nll", "ppl_bucket")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Registration-order control: the driver samples its correctness run in
+# Q's insertion order (50 of N), so each round's NEW queries — the
+# least-proven surface — must come FIRST (VERDICT r5 #5). Names listed
+# here are moved to the front of Q; ORACLE is key-lookup only, so its
+# order doesn't matter (and reordering it would force lazy resolution).
+# ---------------------------------------------------------------------------
+
+_NEWEST_FIRST: list[str] = [
+    # round-6 additions, newest first
+    "webtext_pipeline_fuzzy",
+]
+
+
+def _reorder_newest_first() -> None:
+    head = {n: Q[n] for n in _NEWEST_FIRST if n in Q}
+    tail = {k: v for k, v in Q.items() if k not in head}
+    Q.clear()
+    Q.update(head)
+    Q.update(tail)
+
+
+_reorder_newest_first()
