@@ -3048,16 +3048,45 @@ def q_json_props_stats(spark, sf_dir):
 # joins counts back to occurrences — same O(vocab) shape.
 # ---------------------------------------------------------------------------
 
+def _bpe_seeded_docs(spark, sf_dir):
+    """documents ∪ compound-word variants of every 10th doc (spaces
+    removed from the first 40 chars) — Spark mirror of the seeded CTE
+    in _bpe_oracle_common (invariant-8 lockstep)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    compact = F.concat(
+        F.replace(F.substring("text", 1, 40), F.lit(" "), F.lit("")),
+        F.expr("substring(text, 41)"),
+    )
+    return docs.unionByName(
+        docs.filter(d % 10 == 0).select(
+            (d + 1000000).alias("doc_id"), compact.alias("text")
+        )
+    )
+
+
 def _bpe_oracle_common() -> str:
     from .functions.bpe import default_merges, merges_sql_values
 
+    # seeded compound-word family: the sf0.01-trained vocab (r6) gives
+    # every frequent fixture word a single token — realistic BPE — so
+    # every 10th doc is re-unioned with its first 40 chars' spaces
+    # REMOVED, creating held-out compounds the encoder must split into
+    # multiple learned subwords; without them the oracle could not
+    # distinguish the BPE count from the word count.
     return r"""
     WITH RECURSIVE merges(rank, a, b, ab) AS (
       VALUES {values}
+    ), seeded AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             replace(substr(text, 1, 40), ' ', '') || substr(text, 41)
+      FROM documents WHERE doc_id % 10 = 0
     ), base AS (
       SELECT doc_id, text,
         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM documents
+      FROM seeded
     ), words(w) AS (
       SELECT DISTINCT unnest(w) FROM base
     ), enc(w, step, s) AS (
@@ -3113,10 +3142,14 @@ def q_bpe_token_counts(spark, sf_dir):
     unit training-data budgets are actually stated in (the chars/4
     `subword_estimate` heuristic remains for vocabulary-free use).
     Oracle re-runs the encoder in recursive SQL from the literal merge
-    table."""
+    table. The r6 vocab trains from the full sf0.01 textual surface
+    (functions/bpe.py DEFAULT_VOCAB_SOURCES), so frequent fixture words
+    are single tokens — the seeded compound family (spaces removed from
+    the first 40 chars of every 10th doc) supplies held-out words whose
+    multi-subword encodings the oracle genuinely checks."""
     from .functions.bpe import bpe_token_count_udf, default_merges
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _bpe_seeded_docs(spark, sf_dir)
     collapsed = F.trim(F.regexp_replace("text", r"\s+", " "))
     n_words = (
         F.when(collapsed == "", F.lit(0))
@@ -3153,10 +3186,12 @@ def q_bpe_token_windows(spark, sf_dir):
     """Fixed-token-budget chunking in REAL BPE tokens (window = 64): a
     word joins the chunk its first token falls in — deterministic,
     prefix-sum expressible, shuffle-free (one pandas-UDF pass +
-    explode). Complements `token_windows`' fixed word stride."""
+    explode). Complements `token_windows`' fixed word stride. Shares
+    bpe_token_counts' seeded compound family so window boundaries are
+    genuinely token-driven (not word-driven) under the r6 vocab."""
     from .functions.bpe import bpe_window_udf, default_merges
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _bpe_seeded_docs(spark, sf_dir)
     win = bpe_window_udf(default_merges(), 64)
     return (
         docs.select("doc_id", F.explode(win("text")).alias("c"))
@@ -3353,6 +3388,10 @@ def q_lm_perplexity(spark, sf_dir):
 _NEWEST_FIRST: list[str] = [
     # round-6 additions, newest first
     "webtext_pipeline_fuzzy",
+    # r5 queries redefined in r6 (sf0.01 multi-table vocab + seeded
+    # compound family) — least-proven surface, sample them early too
+    "bpe_token_counts",
+    "bpe_token_windows",
 ]
 
 

@@ -127,3 +127,33 @@ def test_window_udf_partitions_tokens(spark, merges):
 def test_default_merges_cached_and_deterministic():
     a, b = default_merges(), default_merges()
     assert a is b and len(a) > 0
+
+
+def test_default_vocab_scale_and_held_out_splits():
+    """r6 vocab contract (VERDICT r5 #6): the default merges train from
+    the multi-table sf0.01 corpus with a few hundred merges, and words
+    the training corpus never saw split into MULTIPLE learned subwords
+    (not char soup, not single tokens)."""
+    merges = default_merges()
+    assert len(merges) >= 250, len(merges)
+    ranks = {m: i for i, m in enumerate(merges)}
+    vocab_tokens = {a + b for a, b in merges}
+    held_out = ["clickstream", "households", "viewer", "errors", "joinfilter"]
+    for w in held_out:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w
+        assert 2 <= len(toks) < len(w), (w, toks)  # genuine subwords
+        # at least one token is a LEARNED multi-char subword
+        assert any(t in vocab_tokens and len(t) > 1 for t in toks), (w, toks)
+
+
+def test_seeded_compounds_change_token_counts(spark):
+    """The seeded compound family in the bpe_* queries must produce
+    n_bpe_tokens > n_words rows — otherwise the oracle can't tell the
+    BPE count from the word count under the r6 vocab."""
+    from downloader_spark.queries import Q
+
+    rows = Q["bpe_token_counts"](spark, "/root/testdata/sf0.001").collect()
+    seeded = [r for r in rows if r["doc_id"] >= 1000000]
+    assert seeded, "no seeded compound rows"
+    assert any(r["n_bpe_tokens"] > r["n_words"] for r in seeded)
