@@ -58,6 +58,7 @@ HEADLINE = [
     "corpus_rollup",
     "bpe_token_counts",
     "bpe_token_windows",
+    "token_pack_shards",
     "hll_wave_merge",
     "lm_perplexity",
     "embedding_knn_ivf2",

@@ -3205,6 +3205,71 @@ def q_bpe_token_windows(spark, sf_dir):
     )
 
 
+# oracle: per-doc token totals from the recursive-CTE encoder, then the
+# ENTIRE packing recompute — md5 shard assignment, md5-ordered
+# intra-shard layout, prefix sums, fixed-length chop — in plain SQL.
+@_q(
+    "token_pack_shards",
+    lambda: _bpe_oracle_common()
+    + r"""
+    , occ AS (
+      SELECT doc_id, unnest(w) AS word FROM base
+    ), agg AS (
+      SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS nt
+      FROM occ JOIN wordtok ON occ.word = wordtok.w GROUP BY doc_id
+    ), assigned AS (
+      SELECT doc_id, nt,
+             CAST('0x' || substr(md5(doc_id || ':pack'), 1, 15) AS BIGINT)
+               % 8 AS shard_id,
+             CAST('0x' || substr(md5(doc_id || ':ord:pack'), 1, 15) AS BIGINT)
+               AS ord
+      FROM agg WHERE nt > 0
+    ), laid AS (
+      SELECT shard_id, doc_id, nt,
+             CAST(COALESCE(SUM(nt) OVER (PARTITION BY shard_id
+                  ORDER BY ord, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS _before
+      FROM assigned
+    ), pieces AS (
+      SELECT shard_id, doc_id, _before, nt,
+             unnest(generate_series(_before // 256, (_before + nt - 1) // 256))
+               AS seq_id
+      FROM laid
+    )
+    SELECT shard_id, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(seq_id * 256, _before) - _before AS BIGINT) AS doc_pos,
+           CAST(greatest(seq_id * 256, _before) - seq_id * 256 AS BIGINT)
+             AS start_offset,
+           CAST(least((seq_id + 1) * 256, _before + nt)
+                - greatest(seq_id * 256, _before) AS BIGINT) AS n_tokens,
+           greatest(seq_id * 256, _before) = _before AS is_doc_start,
+           least((seq_id + 1) * 256, _before + nt) = _before + nt AS is_doc_end
+    FROM pieces ORDER BY shard_id, seq_id, start_offset, doc_id
+    """,
+)
+def q_token_pack_shards(spark, sf_dir):
+    """Corpus→training-shards packing (VERDICT r5 #2): BPE-count every
+    doc (seeded compound family included), hash-assign docs to 8
+    shards, lay them out in a deterministic md5-ordered shuffle, and
+    chop into exact 256-token sequences with split-doc boundary
+    metadata (operators/packing.py — the GPT-style concatenate-and-
+    chop step between 'cleaned corpus' and 'trainable batches'). The
+    oracle recomputes sequence/shard assignment via prefix sums over
+    the recursive-CTE encoder's token totals; exact every-token-in-
+    exactly-one-slot coverage is pinned by tests/test_packing.py."""
+    from .functions.bpe import bpe_token_count_udf, default_merges
+    from .operators.packing import pack_token_shards
+
+    docs = _bpe_seeded_docs(spark, sf_dir)
+    counts = docs.select(
+        "doc_id", bpe_token_count_udf(default_merges())("text").alias("nt")
+    )
+    return pack_token_shards(
+        counts, "doc_id", "nt", n_shards=8, seq_len=256
+    ).orderBy("shard_id", "seq_id", "start_offset", "doc_id")
+
+
 @_q(
     "hll_wave_merge",
     """
@@ -3388,6 +3453,7 @@ def q_lm_perplexity(spark, sf_dir):
 _NEWEST_FIRST: list[str] = [
     # round-6 additions, newest first
     "webtext_pipeline_fuzzy",
+    "token_pack_shards",
     # r5 queries redefined in r6 (sf0.01 multi-table vocab + seeded
     # compound family) — least-proven surface, sample them early too
     "bpe_token_counts",
