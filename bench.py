@@ -61,6 +61,7 @@ HEADLINE = [
     "token_pack_shards",
     "hll_wave_merge",
     "lm_perplexity",
+    "quality_classifier",
     "embedding_knn_ivf2",
 ]
 

@@ -3442,6 +3442,127 @@ def q_lm_perplexity(spark, sf_dir):
     )
 
 
+def _clf_oracle_sql() -> str:
+    """Oracle for quality_classifier, generated from the SAME cached
+    model dict the Spark path broadcasts (functions/classifier.
+    default_classifier) — every weight is one shared integer in
+    micro-units and the bucket hash is the engine-portable md5 prefix,
+    so scores are exact BIGINT sums on both engines. The seeded junk
+    families interpolate the SAME word-list constants the query uses
+    (CLAUDE.md invariant 8 class)."""
+    from .functions.classifier import (
+        BOILER_WORDS,
+        SPAM_WORDS,
+        classifier_sql_ctes,
+        default_classifier,
+    )
+
+    m = default_classifier()
+    spam = " ".join(SPAM_WORDS)
+    boiler = " ".join(BOILER_WORDS)
+    B, bias = m["n_buckets"], m["bias_micro"]
+    return rf"""
+    WITH seeded AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000,
+        repeat('{spam} v' || CAST(doc_id % 7 AS VARCHAR) || ' ', 3)
+        FROM documents WHERE doc_id % 20 = 0
+      UNION ALL SELECT doc_id + 2000000, repeat('{boiler} ', 4)
+        FROM documents WHERE doc_id % 30 = 0
+      UNION ALL SELECT doc_id + 3000000, '   '
+        FROM documents WHERE doc_id % 100 = 0
+    ),
+    {classifier_sql_ctes(m)},
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM seeded
+    ),
+    w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm WHERE t <> ''),
+    uni AS (SELECT doc_id, unnest(ws) AS g FROM w),
+    bg AS (
+      SELECT doc_id, list_extract(ws, i) || ' ' || list_extract(ws, i + 1) AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+    ),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+    sc AS (
+      SELECT doc_id, COALESCE(w, 0) AS w
+      FROM (SELECT doc_id,
+                   CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % {B} AS bucket
+            FROM grams)
+      LEFT JOIN clf_w USING (bucket)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(w) AS BIGINT) AS score_micro
+      FROM sc GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           COALESCE(n_grams, 0) AS n_grams,
+           COALESCE(score_micro, 0) AS score_micro,
+           CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+                ELSE ROUND((score_micro + {bias} * n_grams)
+                           / (n_grams * 1000000.0), 6)
+           END AS mean_score,
+           CASE WHEN COALESCE(n_grams, 0) = 0 THEN 'empty'
+                WHEN score_micro + {bias} * n_grams >= 0 THEN 'keep'
+                ELSE 'drop'
+           END AS quality_label
+    FROM seeded s LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+    """
+
+
+@_q("quality_classifier", _clf_oracle_sql)  # callable: resolved lazily
+def q_quality_classifier(spark, sf_dir):
+    """DCLM/fastText-style hashed-ngram quality classifier (Joulin et
+    al. 2016; Li et al. 2024): score every document with the build-time
+    linear model (seed corpus vs generated junk) and keep/drop by the
+    exact integer decision rule — the model-based quality axis public
+    pipelines run next to the CCNet perplexity filter (lm_perplexity).
+    Two junk families are SEEDED so both decision sides + the hashed
+    OOV path fire: keyword-stuffed spam and boilerplate chrome (the
+    word lists are shared constants with the training negatives); a
+    whitespace-only family exercises the 'empty' label. Scores are
+    exact integer micro-unit sums over md5-bucketed grams
+    (functions/classifier.py), so the oracle matches bit-for-bit."""
+    from .functions.classifier import BOILER_WORDS, SPAM_WORDS, score_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    spam = " ".join(SPAM_WORDS)
+    boiler = " ".join(BOILER_WORDS)
+    seeded = (
+        docs.unionByName(
+            docs.filter(d % 20 == 0).select(
+                (d + 1000000).alias("doc_id"),
+                F.repeat(
+                    F.concat(
+                        F.lit(spam + " v"),
+                        (d % 7).cast("string"),
+                        F.lit(" "),
+                    ),
+                    3,
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 30 == 0).select(
+                (d + 2000000).alias("doc_id"),
+                F.repeat(F.lit(boiler + " "), 4).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 100 == 0).select(
+                (d + 3000000).alias("doc_id"), F.lit("   ").alias("text")
+            )
+        )
+    )
+    return (
+        score_quality(seeded)
+        .select("doc_id", "n_grams", "score_micro", "mean_score", "quality_label")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order control: the driver samples its correctness run in
 # Q's insertion order (50 of N), so each round's NEW queries — the
@@ -3452,6 +3573,7 @@ def q_lm_perplexity(spark, sf_dir):
 
 _NEWEST_FIRST: list[str] = [
     # round-6 additions, newest first
+    "quality_classifier",
     "webtext_pipeline_fuzzy",
     "token_pack_shards",
     # r5 queries redefined in r6 (sf0.01 multi-table vocab + seeded
