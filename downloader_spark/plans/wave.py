@@ -118,6 +118,11 @@ class CrawlEngine:
         self._pages_persisted = self.cfg.dedupe_pages
         self._extract_udf = make_crawl_extract_udf(self.cfg.max_links_per_page)
         self._bloom_bc: tuple[int, object] | None = None
+        # wall-clock of the LAST wave's PageRank refresh (0.0 when the
+        # wave skipped it) — evidence instrumentation only, no
+        # semantics: scripts/evidence_crawl_10x.py splits the refresh
+        # cost out of the per-wave wall (VERDICT r5 #8)
+        self.last_rank_refresh_sec = 0.0
 
     def close(self) -> None:
         """Release engine-held executor state: the deduped-pages cache
@@ -475,8 +480,13 @@ class CrawlEngine:
         # 0. (opt-in) refresh the PageRank signal every k waves from the
         #    accumulated link graph; committed BEFORE any other wave-k
         #    commit so recovery rolls it back with the rest
+        self.last_rank_refresh_sec = 0.0
         if cfg.pagerank_every and wave > 1 and (wave - 1) % cfg.pagerank_every == 0:
+            import time as _time
+
+            _t0 = _time.monotonic()
             self._refresh_ranks(wave)
+            self.last_rank_refresh_sec = round(_time.monotonic() - _t0, 2)
 
         # 1+2. URL-seen filter (Bloom prefilter + exact anti-join for the
         #    maybes) THEN politeness (robots allow/deny + per-host

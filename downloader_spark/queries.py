@@ -1890,7 +1890,7 @@ _FUZZY_EXTRA_CORPUS_SQL = """
       UNION ALL SELECT doc_id + 8000000, text || ' second printing'
         FROM multiline WHERE doc_id % 45 = 0"""
 
-_FUZZY_TAIL_SQL = r"""
+_FUZZY_KEEPERS_SQL = r"""
     , snorm AS (
       SELECT doc_id, trim(regexp_replace(lower(cleaned_text), '\s+', ' ', 'g')) AS t
       FROM survivors
@@ -1927,14 +1927,20 @@ _FUZZY_TAIL_SQL = r"""
       SELECT COALESCE(c.keeper, s.doc_id) AS keeper, s.doc_id, s.cleaned_text,
              s.n_exact_dups, s.n_dropped_lines, s.n_tokens
       FROM survivors s LEFT JOIN comp c ON s.doc_id = c.node
-    )
-    SELECT keeper AS doc_id,
-           min_by(cleaned_text, doc_id) AS cleaned_text,
-           CAST(COUNT(*) AS BIGINT) AS n_fuzzy_variants,
-           CAST(SUM(n_exact_dups) AS BIGINT) AS n_docs_total,
-           min_by(n_dropped_lines, doc_id) AS n_dropped_lines,
-           min_by(n_tokens, doc_id) AS n_tokens
-    FROM merged GROUP BY keeper ORDER BY doc_id
+    ), fkeep AS (
+      SELECT keeper AS doc_id,
+             min_by(cleaned_text, doc_id) AS cleaned_text,
+             CAST(COUNT(*) AS BIGINT) AS n_fuzzy_variants,
+             CAST(SUM(n_exact_dups) AS BIGINT) AS n_docs_total,
+             min_by(n_dropped_lines, doc_id) AS n_dropped_lines,
+             min_by(n_tokens, doc_id) AS n_tokens
+      FROM merged GROUP BY keeper
+    )"""
+
+_FUZZY_TAIL_SQL = _FUZZY_KEEPERS_SQL + """
+    SELECT doc_id, cleaned_text, n_fuzzy_variants, n_docs_total,
+           n_dropped_lines, n_tokens
+    FROM fkeep ORDER BY doc_id
     """
 
 
@@ -1962,6 +1968,16 @@ def q_webtext_pipeline_fuzzy(spark, sf_dir):
     materialized, orders of magnitude smaller than the corpus at
     100 TB), candidates are LSH-bucketed (never all-pairs), and
     components converge in O(log diameter) pointer-jumping rounds."""
+    keepers = _fuzzy_keepers(spark, sf_dir)
+    out = keepers.orderBy("doc_id")
+    out._ckpt_ids = keepers._ckpt_ids
+    return out
+
+
+def _fuzzy_keepers(spark, sf_dir):
+    """Shared fuzzy-dedup keeper stage (q_webtext_pipeline_fuzzy body):
+    checkpoint-materialized keeper table with ``_ckpt_ids`` attached —
+    the full pipeline (q_webtext_pipeline_full) scores it further."""
     from .operators.dedup import (
         _ckpt_tracked,
         _drop_ckpt,
@@ -2007,11 +2023,121 @@ def q_webtext_pipeline_fuzzy(spark, sf_dir):
             F.col("keeper").alias("doc_id"), "cleaned_text",
             "n_fuzzy_variants", "n_docs_total", "n_dropped_lines", "n_tokens",
         )
-        .orderBy("doc_id")
     )
     out, out_ids = _ckpt_tracked(out)
     out._ckpt_ids = out_ids
     _drop_ckpt(survivors, surv_ids)
+    return out
+
+
+def _webtext_full_oracle_sql() -> str:
+    """Oracle for webtext_pipeline_full: the ENTIRE public-recipe
+    stack recomputed relationally — seeded corpus → Gopher gate → span
+    removal → exact dedup → fuzzy MinHash dedup (recursive-CTE
+    components) → CCNet perplexity buckets → DCLM classifier keep/drop
+    — with the LM and classifier model tables generated from the SAME
+    cached dicts the Spark path broadcasts (zero cross-engine float
+    math; functions/lm.py + functions/classifier.py)."""
+    from .functions.classifier import classifier_sql_ctes, default_classifier
+    from .functions.lm import default_lm, lm_sql_ctes
+
+    mlm = default_lm()
+    mc = default_classifier()
+    B, bias = mc["n_buckets"], mc["bias_micro"]
+    return (
+        _WEBTEXT_CORE_SQL.replace("{extra_corpus}", _FUZZY_EXTRA_CORPUS_SQL)
+        + _FUZZY_KEEPERS_SQL
+        + rf"""
+    , {lm_sql_ctes(mlm)},
+    {classifier_sql_ctes(mc)},
+    knorm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(cleaned_text), '\s+', ' ', 'g')) AS t
+      FROM fkeep
+    ),
+    kw AS (SELECT doc_id, string_split(t, ' ') AS ws FROM knorm WHERE t <> ''),
+    kbg AS (
+      SELECT doc_id, list_extract(ws, g) AS a, list_extract(ws, g + 1) AS b
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS g FROM kw)
+    ),
+    ksc AS (
+      SELECT doc_id, COALESCE(p.lp_ab, c.lp_a, {mlm["oov_lp"]}) AS lp
+      FROM kbg LEFT JOIN lm_pair p ON kbg.a = p.a AND kbg.b = p.b
+               LEFT JOIN lm_ctx c ON kbg.a = c.a
+    ),
+    kagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(lp) AS BIGINT) AS nll_micro
+      FROM ksc GROUP BY doc_id
+    ),
+    kuni AS (SELECT doc_id, unnest(ws) AS g FROM kw),
+    kbgg AS (
+      SELECT doc_id, list_extract(ws, i) || ' ' || list_extract(ws, i + 1) AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM kw)
+    ),
+    kgrams AS (SELECT * FROM kuni UNION ALL SELECT * FROM kbgg),
+    kcsc AS (
+      SELECT doc_id, COALESCE(w, 0) AS w
+      FROM (SELECT doc_id,
+                   CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % {B} AS bucket
+            FROM kgrams)
+      LEFT JOIN clf_w USING (bucket)
+    ),
+    kcagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(w) AS BIGINT) AS score_micro
+      FROM kcsc GROUP BY doc_id
+    ),
+    kscored AS (
+      SELECT f.doc_id, f.n_fuzzy_variants, f.n_docs_total, f.n_tokens,
+             CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 'empty'
+                  WHEN nll_micro <= {mlm["th_head"]} * n_bigrams THEN 'head'
+                  WHEN nll_micro <= {mlm["th_tail"]} * n_bigrams THEN 'middle'
+                  ELSE 'tail'
+             END AS ppl_bucket,
+             CASE WHEN COALESCE(n_grams, 0) = 0 THEN 'empty'
+                  WHEN score_micro + {bias} * n_grams >= 0 THEN 'keep'
+                  ELSE 'drop'
+             END AS quality_label
+      FROM fkeep f LEFT JOIN kagg USING (doc_id) LEFT JOIN kcagg USING (doc_id)
+    )
+    SELECT doc_id, n_fuzzy_variants, n_docs_total, n_tokens,
+           ppl_bucket, quality_label,
+           (quality_label = 'keep' AND ppl_bucket <> 'tail') AS kept
+    FROM kscored ORDER BY doc_id
+    """
+    )
+
+
+@_q("webtext_pipeline_full", _webtext_full_oracle_sql)  # lazy: trains models
+def q_webtext_pipeline_full(spark, sf_dir):
+    """The COMPLETE public-recipe webtext stack in one query — what
+    RefinedWeb/Gopher/DCLM actually run end-to-end: Gopher rule gate →
+    repeated-span removal → exact dedup → fuzzy MinHash doc-level
+    dedup → CCNet LM perplexity bucketing (head/middle/tail) → DCLM
+    hashed-ngram classifier keep/drop; ``kept`` = classifier keep AND
+    not perplexity-tail (the standard final filter). Every stage is
+    the already-oracled operator; scores are exact integer sums so the
+    oracle matches bit-for-bit. Scale shape: scoring runs only on
+    fuzzy-dedup KEEPERS (checkpoint-materialized, corpus-magnitudes
+    smaller than the input); both model tables broadcast."""
+    from .functions.classifier import score_quality
+    from .functions.lm import score_perplexity
+
+    keepers = _fuzzy_keepers(spark, sf_dir)
+    scored = score_quality(
+        score_perplexity(keepers, text_col="cleaned_text"),
+        text_col="cleaned_text",
+    )
+    out = scored.select(
+        "doc_id", "n_fuzzy_variants", "n_docs_total", "n_tokens",
+        "ppl_bucket", "quality_label",
+        (
+            (F.col("quality_label") == "keep")
+            & (F.col("ppl_bucket") != "tail")
+        ).alias("kept"),
+    ).orderBy("doc_id")
+    out._ckpt_ids = keepers._ckpt_ids
     return out
 
 
@@ -3573,6 +3699,7 @@ def q_quality_classifier(spark, sf_dir):
 
 _NEWEST_FIRST: list[str] = [
     # round-6 additions, newest first
+    "webtext_pipeline_full",
     "quality_classifier",
     "webtext_pipeline_fuzzy",
     "token_pack_shards",

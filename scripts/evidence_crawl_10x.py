@@ -8,7 +8,15 @@ into BASELINE.md ("10×-scale crawl evidence"); the per-round bench
 carries the smaller always-run variant (bench._wave_scale_curve at
 120k pages).
 
+Round-6 variant (VERDICT r5 #8): ``--cuckoo`` switches the seen filter
+to the deletable cuckoo tables, ``--pagerank`` enables rank-informed
+frontier priority with a refresh EVERY wave (pagerank_every=1, the
+most expensive schedule) — the per-wave output then splits
+rank_refresh_sec out of wall_sec, evidencing that the O(edges) refresh
+fits inside the wave budget at the 1M-page scale.
+
 Usage: python scripts/evidence_crawl_10x.py [n_hosts] [pages_per_host]
+           [--cuckoo] [--pagerank]
 """
 
 from __future__ import annotations
@@ -23,14 +31,21 @@ from bench import _session, _wave_scale_curve  # noqa: E402
 
 
 def main() -> None:
-    n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
-    pages_per_host = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_hosts = int(pos[0]) if pos else 10_000
+    pages_per_host = int(pos[1]) if len(pos) > 1 else 100
+    overrides: dict = {}
+    if "--cuckoo" in sys.argv:
+        overrides.update(seen_filter="cuckoo", cuckoo_table_rows=1 << 15)
+    if "--pagerank" in sys.argv:
+        overrides.update(pagerank_every=1)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = _session(cpus)
     out = _wave_scale_curve(
         spark, n_hosts=n_hosts, pages_per_host=pages_per_host,
-        seeds_per_host=4, waves=5,
+        seeds_per_host=4, waves=5, cfg_overrides=overrides or None,
     )
+    out["cfg_overrides"] = overrides
     spark.stop()
     print(json.dumps(out))
 

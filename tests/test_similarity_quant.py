@@ -1,0 +1,180 @@
+"""SQ8-quantized IVF list payload (operators/similarity.py, VERDICT r5
+#3): codebook fit, exact round-trip bounds, Python ≡ Spark encode
+parity, and recall of the quantized+reranked probe vs the float path
+on the seeded corpus. embedding_knn_ivf2's exact-oracle config is
+untouched (CLAUDE.md invariant 5)."""
+
+import json
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from downloader_spark.operators.similarity import (
+    build_ivf_index,
+    cosine_topk,
+    fit_sq8,
+    ivf_probe,
+    sq8_decode_col,
+    sq8_decode_py,
+    sq8_encode_col,
+    sq8_encode_py,
+)
+
+EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(EMB).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_fit_sq8_bounds(spark, emb):
+    params = fit_sq8(emb)
+    dim = len(emb.select(F.size("embedding")).first()[0] * [0])
+    assert len(params["vmin"]) == len(params["span"])
+    assert all(s > 0 for s in params["span"])
+    # every corpus value encodes inside [-128, 127] without clamping
+    codes = emb.select(
+        sq8_encode_col(F.col("embedding"), params).alias("c")
+    ).select(
+        F.array_min("c").alias("lo"), F.array_max("c").alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).first()
+    assert -128 <= codes["lo"] and codes["hi"] <= 127
+
+
+def test_roundtrip_error_bounded_and_pinned(emb):
+    params = fit_sq8(emb)
+    import pyarrow.parquet as pq
+
+    vecs = pq.read_table(EMB, columns=["embedding"]).column(
+        "embedding"
+    ).to_pylist()[:50]
+    for v in vecs:
+        codes = sq8_encode_py(v, params)
+        assert all(-128 <= c <= 127 for c in codes)
+        back = sq8_decode_py(codes, params)
+        for x, xb, sp in zip(v, back, params["span"]):
+            # half-up rounding: reconstruction within half a code step
+            assert abs(float(x) - xb) <= sp / 255.0 / 2.0 + 1e-9
+    # pin the affine map on a hand vector: vmin -> code -128 -> vmin
+    hand = {"vmin": [0.0, -1.0], "span": [2.0, 2.0]}
+    assert sq8_encode_py([0.0, -1.0], hand) == [-128, -128]
+    assert sq8_encode_py([2.0, 1.0], hand) == [127, 127]
+    assert sq8_decode_py([-128, -128], hand) == [0.0, -1.0]
+    # midpoint: (1-0)*255/2 + 0.5 = 128.0 -> floor 128 -> shifted 0
+    assert sq8_encode_py([1.0, 0.0], hand) == [0, 0]
+
+
+def test_spark_encode_decode_matches_python(spark, emb):
+    params = fit_sq8(emb)
+    rows = (
+        emb.limit(20)
+        .select(
+            "vec_id",
+            "embedding",
+            sq8_encode_col(F.col("embedding"), params).alias("codes"),
+        )
+        .withColumn("back", sq8_decode_col(F.col("codes"), params))
+        .collect()
+    )
+    for r in rows:
+        assert list(r["codes"]) == sq8_encode_py(r["embedding"], params), r[
+            "vec_id"
+        ]
+        py_back = sq8_decode_py(r["codes"], params)
+        for a, b in zip(r["back"], py_back):
+            assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_quantized_index_stores_int8_and_sidecar(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf_sq8")
+    index = build_ivf_index(
+        emb, n_centroids=8, iters=2, path=path, quantize="sq8"
+    )
+    assert index.sq8 is not None
+    schema = dict(index.assigned.dtypes)
+    assert schema["ccode"] == "array<tinyint>"
+    assert "cvec" not in schema
+    with open(os.path.join(path, "_sq8.json")) as fh:
+        side = json.load(fh)
+    assert side["vmin"] == index.sq8["vmin"]
+    assert side["span"] == index.sq8["span"]
+
+
+def test_quantized_probe_recall_vs_float_path(spark, emb, tmp_path):
+    qry = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk(emb, qry, k=5).collect()
+    }
+    index = build_ivf_index(
+        emb,
+        n_centroids=8,
+        iters=2,
+        path=str(tmp_path / "ivf_sq8"),
+        quantize="sq8",
+    )
+    # nprobe = all lists isolates the QUANTIZATION effect from the
+    # partial-probe effect; rerank against full precision
+    got_rerank = {
+        (r["query_id"], r["cand_id"])
+        for r in ivf_probe(
+            index, qry, k=5, nprobe=8, rerank_from=emb
+        ).collect()
+    }
+    recall = len(exact & got_rerank) / len(exact)
+    assert recall >= 0.97, f"reranked recall {recall}"
+    # reconstruction-only (no rerank) must already be close — the
+    # re-rank is a refinement, not a rescue
+    got_raw = {
+        (r["query_id"], r["cand_id"])
+        for r in ivf_probe(index, qry, k=5, nprobe=8).collect()
+    }
+    raw_recall = len(exact & got_raw) / len(exact)
+    assert raw_recall >= 0.85, f"reconstruction-only recall {raw_recall}"
+
+
+def test_float_path_unchanged_without_quantize(spark, emb, tmp_path):
+    index = build_ivf_index(
+        emb, n_centroids=8, iters=2, path=str(tmp_path / "ivf_f")
+    )
+    assert index.sq8 is None
+    assert "cvec" in dict(index.assigned.dtypes)
+
+
+def test_load_ivf_index_roundtrip(spark, emb, tmp_path):
+    from downloader_spark.operators.similarity import load_ivf_index
+
+    qry = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for name, quant in (("f", None), ("q", "sq8")):
+        path = str(tmp_path / f"ivf_{name}")
+        built = build_ivf_index(
+            emb, n_centroids=8, iters=2, path=path, quantize=quant
+        )
+        loaded = load_ivf_index(spark, path)
+        assert loaded.centroids == built.centroids
+        assert loaded.sq8 == built.sq8
+        a = sorted(
+            map(tuple, ivf_probe(
+                built, qry, k=3, nprobe=8, rerank_from=emb
+            ).collect())
+        )
+        b = sorted(
+            map(tuple, ivf_probe(
+                loaded, qry, k=3, nprobe=8, rerank_from=emb
+            ).collect())
+        )
+        assert a == b
