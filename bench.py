@@ -64,6 +64,7 @@ HEADLINE = [
     "lm_perplexity",
     "quality_classifier",
     "embedding_knn_ivf2",
+    "semantic_dedup",
 ]
 
 

@@ -2974,6 +2974,105 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
+def _semdedup_oracle_sql() -> str:
+    """Oracle for semantic_dedup, generated from the SAME cached
+    build-time centroids the Spark query broadcasts (the lm/classifier
+    pattern — they agree by construction). Recomputes the WHOLE
+    pipeline relationally: integer micro-unit quantization →
+    exact-BIGINT nearest-centroid assignment (ORDER BY d, cl ties
+    match np.argmin's first-occurrence rule) → within-cluster cosine
+    pairs → recursive-CTE connected components → keep-the-outlier
+    keeper pick (lowest cos-to-centroid, ties to lowest vec_id)."""
+    from .operators.semdedup import (
+        centroids_sql_values,
+        default_semdedup_centroids,
+    )
+
+    values = centroids_sql_values(default_semdedup_centroids())
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), seeded AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.25 ELSE x END)
+      FROM base WHERE vec_id % 50 = 0
+    ), vm AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS m
+      FROM seeded
+    ), cent(cl, cm) AS (VALUES {values}),
+    dist AS (
+      SELECT vec_id, cl,
+             list_sum(list_transform(list_zip(m, cm),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      FROM vm CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, cl AS cluster FROM (
+        SELECT vec_id, cl,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+        FROM dist) WHERE rn = 1
+    ), withc AS (
+      SELECT s.vec_id, a.cluster, s.v,
+             ROUND(
+               list_sum(list_transform(list_zip(s.v,
+                 list_transform(c.cm, x -> x / 1000000.0)), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(s.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.cm,
+                    x -> (x / 1000000.0) * (x / 1000000.0))))), 6) AS cos_centroid
+      FROM seeded s JOIN assign a USING (vec_id) JOIN cent c ON c.cl = a.cluster
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM withc a JOIN withc b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ROUND(
+        list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) >= 0.9
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    )
+    SELECT w.vec_id, w.cluster,
+           COALESCE(c.component, w.vec_id) AS component,
+           w.cos_centroid,
+           (ROW_NUMBER() OVER (
+              PARTITION BY COALESCE(c.component, w.vec_id)
+              ORDER BY w.cos_centroid, w.vec_id) = 1) AS keep
+    FROM withc w LEFT JOIN comp c ON c.node = w.vec_id
+    ORDER BY w.vec_id
+    """
+
+
+@_q("semantic_dedup", _semdedup_oracle_sql)  # callable: resolved lazily
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the seeded near-dup corpus:
+    k-means-cluster the embeddings (build-time integer-micro centroids,
+    operators/semdedup.default_semdedup_centroids), pair only WITHIN
+    clusters at cosine ≥ 0.9, keep one member per duplicate component —
+    the one farthest from its centroid (lowest cos_centroid, ties by
+    id). Assignment is exact BIGINT arithmetic in both engines; the
+    oracle recomputes assignment, pairing, components and the keeper
+    pick end-to-end from the same centroid literals."""
+    from .operators.semdedup import default_semdedup_centroids, semantic_dedup
+
+    return semantic_dedup(
+        spark,
+        _seeded_near_dup_corpus(spark, sf_dir),
+        default_semdedup_centroids(),
+        threshold=0.9,
+    ).orderBy("vec_id")
+
+
 @_q(
     "multi_format_fanout",
     """
@@ -3699,6 +3798,7 @@ def q_quality_classifier(spark, sf_dir):
 
 _NEWEST_FIRST: list[str] = [
     # round-6 additions, newest first
+    "semantic_dedup",
     "webtext_pipeline_full",
     "quality_classifier",
     "webtext_pipeline_fuzzy",
