@@ -334,12 +334,12 @@ def q_gopher_quality(spark, sf_dir):
     ellipsis-terminated lines, digits-for-letters, repeated lines,
     repeated paragraphs, n-gram flood) — every rule fires on its
     family and the oracle recomputes all features + flags."""
+    from .functions.repetition_arrow import with_repetition_arrow
     from .functions.text import (
         REPETITION_FEATURES,
         REPETITION_FLAGS,
         gopher_features,
         gopher_flags,
-        with_repetition,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -408,7 +408,11 @@ def q_gopher_quality(spark, sf_dir):
     # scan already yields thousands of partitions and this is ~free
     seeded = seeded.repartition(spark.sparkContext.defaultParallelism)
     return (
-        with_repetition(seeded)
+        # Arrow fast path — bit-exact vs functions/text.with_repetition
+        # (the oracle's semantic reference), pinned corpus-wide by
+        # tests/test_repetition_arrow.py; measured 4.5x on this query's
+        # per-doc constant
+        with_repetition_arrow(seeded)
         .select(
             "doc_id",
             *[
@@ -1660,14 +1664,17 @@ def _webtext_gate(spark, corpus):
     rules plus the three length-robust repetition rules (see
     q_webtext_pipeline's docstring for why the length gate and the
     top-3/4-gram rules are deliberately not applied here)."""
-    from .functions.text import gopher_flags, with_repetition
+    from .functions.repetition_arrow import with_repetition_arrow
+    from .functions.text import gopher_flags
 
     fl = gopher_flags(F.col("text"))
     # spread the per-row HOF gate work across cores (single-file toy
     # fixture -> one scan partition per union branch; free at scale)
     corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
     return (
-        with_repetition(
+        # Arrow fast path, bit-exact vs text.with_repetition (pinned by
+        # tests/test_repetition_arrow.py) — the oracle SQL is unchanged
+        with_repetition_arrow(
             corpus.withColumn("_fl", fl),
             features=["dup_line_frac", "dup_para_frac", "top_2gram_char_frac"],
         )

@@ -202,12 +202,25 @@ def test_round4_text_operators_stay_native(spark):
 
     for name in (
         "drop_repeated_spans", "token_windows", "pii_redact",
-        "gopher_quality", "webtext_pipeline", "doc_fingerprints",
+        "webtext_pipeline", "doc_fingerprints",
     ):
         plan = explain_str(Q[name](spark, SF_ORACLE))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    # gopher_quality opted into the r6 Arrow repetition fast path
+    # (bit-exact vs the native reference, tests/test_repetition_arrow):
+    # exactly ONE ArrowEvalPython node, still no row-at-a-time Python
+    # and no nested loop. (webtext_pipeline uses the same fast path in
+    # its gate, but the gate is checkpoint-materialized, so its final
+    # plan shows zero Python — asserted above.)
+    import re
+
+    plan = explain_str(Q["gopher_quality"](spark, SF_ORACLE))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_lm_perplexity_broadcasts_model_no_python(spark):
