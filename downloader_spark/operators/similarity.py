@@ -535,12 +535,37 @@ def ivf_probe(
     paired = cand.join(qry, cond).filter(
         F.col("cand_id") != F.col("query_id")
     )
+    return _rank_tail(
+        paired, queries, vec_col, k, round_to,
+        quantized=index.sq8 is not None,
+        rerank_from=rerank_from, rerank_id_col=rerank_id_col,
+        rerank_factor=rerank_factor,
+    )
+
+
+def _rank_tail(
+    paired: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    k: int,
+    round_to: int,
+    quantized: bool,
+    rerank_from: DataFrame | None,
+    rerank_id_col: str,
+    rerank_factor: int,
+) -> DataFrame:
+    """Shared score/rank tail of every IVF probe (flat and tree):
+    cosine over the (possibly reconstructed) candidate vectors, then —
+    for a quantized index with ``rerank_from`` — the FAISS refine step:
+    keep k·factor survivors per query on the approximate score and
+    re-rank ONLY them against full precision (the survivor set is
+    n_queries × k·factor rows and broadcasts into the id join)."""
     sim = _dot(F.col("cvec"), F.col("qvec")) / (
         _norm(F.col("cvec")) * _norm(F.col("qvec"))
     )
     from .topk import per_key_topk
 
-    if index.sq8 is not None and rerank_from is not None:
+    if quantized and rerank_from is not None:
         # approximate pass keeps k·factor survivors per query at full
         # float precision (rounding here would merge near-ties the
         # exact pass must separate)
@@ -752,6 +777,7 @@ class IVF2Index:
         n_sub: int,
         persisted: bool = False,
         path: str | None = None,
+        sq8: dict | None = None,
     ):
         self.assigned = assigned
         self.coarse = coarse
@@ -759,6 +785,7 @@ class IVF2Index:
         self.n_sub = n_sub
         self._persisted = persisted
         self.path = path
+        self.sq8 = sq8
 
     def close(self) -> None:
         if self._persisted:
@@ -782,12 +809,17 @@ def build_ivf2_index(
     sample_frac: float | None = None,
     path: str | None = None,
     persist: bool = True,
+    quantize: str | None = None,
 ) -> IVF2Index:
     """Fit the centroid tree and assign every candidate to its list in
     the ONE full corpus pass: coarse argmin (n_coarse distances) then
     sub argmin within the cell (≤ n_sub distances) — never the
     n_coarse·n_sub flat matmul. Storage/caching contract matches
-    build_ivf_index (parquet partitioned by _c when ``path`` given)."""
+    build_ivf_index (parquet partitioned by _c when ``path`` given;
+    ``quantize='sq8'`` stores int8 list payloads — probe with
+    ``rerank_from`` for exact final ranking). A ``path``-stored tree
+    writes ``_tree.json`` (+ ``_sq8.json``) sidecars so
+    load_ivf2_index can reopen it in a later session."""
     coarse, subs = kmeans_tree(
         embeddings, vec_col, n_coarse=n_coarse, n_sub=n_sub, iters=iters,
         id_col=id_col, sample_frac=sample_frac,
@@ -804,13 +836,60 @@ def build_ivf2_index(
         )
         .drop("_cc")
     )
+    sq8 = None
+    if quantize == "sq8":
+        sq8 = fit_sq8(embeddings, vec_col)
+        assigned = assigned.select(
+            "cand_id", sq8_encode_col(F.col("cvec"), sq8).alias("ccode"), "_c"
+        )
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     if path is not None:
         assigned.write.mode("overwrite").partitionBy("_c").parquet(path)
+        import json
+        import os
+
+        with open(os.path.join(path, "_tree.json"), "w") as fh:
+            json.dump(
+                {
+                    "coarse": coarse,
+                    "subs": {str(c): m for c, m in subs.items()},
+                    "n_sub": n_sub,
+                },
+                fh,
+            )
+        if sq8 is not None:
+            with open(os.path.join(path, "_sq8.json"), "w") as fh:
+                json.dump(sq8, fh)
         stored = embeddings.sparkSession.read.parquet(path)
-        return IVF2Index(stored, coarse, subs, n_sub, path=path)
+        return IVF2Index(stored, coarse, subs, n_sub, path=path, sq8=sq8)
     if persist:
         assigned = assigned.persist()
-    return IVF2Index(assigned, coarse, subs, n_sub, persisted=persist)
+    return IVF2Index(assigned, coarse, subs, n_sub, persisted=persist, sq8=sq8)
+
+
+def load_ivf2_index(spark, path: str) -> IVF2Index:
+    """Reopen a ``path``-stored two-level index from its sidecars
+    (build-once / probe-many across sessions — the load_ivf_index
+    contract for the tree layout)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_tree.json")) as fh:
+        tree = json.load(fh)
+    sq8 = None
+    sq8_path = os.path.join(path, "_sq8.json")
+    if os.path.exists(sq8_path):
+        with open(sq8_path) as fh:
+            sq8 = json.load(fh)
+    return IVF2Index(
+        spark.read.parquet(path),
+        tree["coarse"],
+        {int(c): m for c, m in tree["subs"].items()},
+        int(tree["n_sub"]),
+        path=path,
+        sq8=sq8,
+    )
 
 
 def make_tree_probe_udf(
@@ -866,12 +945,17 @@ def ivf2_probe(
     wprobe: int = 2,
     nprobe: int = 4,
     round_to: int = 6,
+    rerank_from: DataFrame | None = None,
+    rerank_id_col: str = "vec_id",
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Probe a two-level index — identical join/score/rank tail to
     ivf_probe (the list id column is the same shape), only the probe
     list derivation goes through the tree. With wprobe == n_coarse and
     nprobe ≥ total lists the result EQUALS brute force (each candidate
-    lives in exactly one list), which is the oracle configuration."""
+    lives in exactly one list), which is the oracle configuration.
+    Against a quantized tree (``index.sq8``), pass ``rerank_from`` for
+    the exact FAISS refine step (see _rank_tail)."""
     probe = make_tree_probe_udf(
         index.coarse, index.subs, index.n_sub, wprobe, nprobe
     )
@@ -879,6 +963,10 @@ def ivf2_probe(
         "query_id", F.col(vec_col).alias("qvec")
     ).withColumn("_probe", F.explode(probe(F.col("qvec"))))
     cand = index.assigned
+    if index.sq8 is not None:
+        cand = cand.withColumn(
+            "cvec", sq8_decode_col(F.col("ccode"), index.sq8)
+        ).drop("ccode")
     # same constraint nuance as ivf_probe: eqNullSafe for the in-memory
     # index (plain == would re-run the assignment UDF as an extracted
     # isnotnull constraint); plain equality for the stored index so the
@@ -888,17 +976,12 @@ def ivf2_probe(
     else:
         cond = cand["_c"].eqNullSafe(qry["_probe"])
     paired = cand.join(qry, cond).filter(F.col("cand_id") != F.col("query_id"))
-    sim = _dot(F.col("cvec"), F.col("qvec")) / (
-        _norm(F.col("cvec")) * _norm(F.col("qvec"))
+    return _rank_tail(
+        paired, queries, vec_col, k, round_to,
+        quantized=index.sq8 is not None,
+        rerank_from=rerank_from, rerank_id_col=rerank_id_col,
+        rerank_factor=rerank_factor,
     )
-    scored = paired.select(
-        "query_id", "cand_id", F.round(sim, round_to).alias("cosine")
-    )
-    from .topk import per_key_topk
-
-    return per_key_topk(
-        scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k=k
-    ).select("query_id", "cand_id", "cosine", "rnk")
 
 
 def ivf2_topk(

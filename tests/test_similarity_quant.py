@@ -178,3 +178,84 @@ def test_load_ivf_index_roundtrip(spark, emb, tmp_path):
             ).collect())
         )
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# SQ8 on the TWO-LEVEL index (round-6): same codebook, tree layout
+# ---------------------------------------------------------------------------
+
+
+def test_ivf2_quantized_build_load_probe(spark, emb, tmp_path):
+    from downloader_spark.operators.similarity import (
+        build_ivf2_index,
+        ivf2_probe,
+        load_ivf2_index,
+    )
+
+    qry = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf2_sq8")
+    built = build_ivf2_index(
+        emb, n_coarse=3, n_sub=3, iters=2, path=path, quantize="sq8"
+    )
+    assert built.sq8 is not None
+    schema = dict(built.assigned.dtypes)
+    assert schema["ccode"] == "array<tinyint>" and "cvec" not in schema
+    # sidecars reopen the tree identically
+    loaded = load_ivf2_index(spark, path)
+    assert loaded.coarse == built.coarse
+    assert loaded.subs == built.subs
+    assert loaded.n_sub == built.n_sub
+    assert loaded.sq8 == built.sq8
+    a = sorted(
+        map(tuple, ivf2_probe(
+            built, qry, k=3, wprobe=3, nprobe=9, rerank_from=emb
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, ivf2_probe(
+            loaded, qry, k=3, wprobe=3, nprobe=9, rerank_from=emb
+        ).collect())
+    )
+    assert a == b
+
+
+def test_ivf2_quantized_recall_vs_exact(spark, emb, tmp_path):
+    from downloader_spark.operators.similarity import (
+        build_ivf2_index,
+        ivf2_probe,
+    )
+
+    qry = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk(emb, qry, k=5).collect()
+    }
+    index = build_ivf2_index(
+        emb,
+        n_coarse=3,
+        n_sub=3,
+        iters=2,
+        path=str(tmp_path / "ivf2_sq8r"),
+        quantize="sq8",
+    )
+    # probe-all isolates the quantization effect; rerank refines
+    got = {
+        (r["query_id"], r["cand_id"])
+        for r in ivf2_probe(
+            index, qry, k=5, wprobe=3, nprobe=9, rerank_from=emb
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.97, f"ivf2 sq8+rerank recall {recall}"
+
+
+def test_ivf2_float_path_unchanged(spark, emb):
+    from downloader_spark.operators.similarity import build_ivf2_index
+
+    index = build_ivf2_index(emb, n_coarse=3, n_sub=3, iters=1, persist=False)
+    assert index.sq8 is None
+    assert "cvec" in dict(index.assigned.dtypes)
