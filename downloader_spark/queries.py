@@ -2981,6 +2981,89 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
+def _urlq_oracle_sql() -> str:
+    """Oracle for url_quality_filter, interpolating the SAME constants
+    (functions/urlquality.BLOCK_DOMAINS / URL_WORD_WEIGHTS /
+    URL_SCORE_BLOCK) the Spark side uses — lockstep by construction.
+    The suffix-join blocklist is recomputed as its relational
+    equivalent: host = d OR host ends with '.' || d."""
+    from .functions.urlquality import (
+        BLOCK_DOMAINS,
+        URL_SCORE_BLOCK,
+        URL_WORD_WEIGHTS,
+    )
+
+    blocked_rows = ", ".join(f"('{d}')" for d in BLOCK_DOMAINS)
+    score = " + ".join(
+        f"CASE WHEN contains(lower(url), '{w}') THEN {URL_WORD_WEIGHTS[w]} "
+        "ELSE 0 END"
+        for w in sorted(URL_WORD_WEIGHTS)
+    )
+    return f"""
+    WITH urls AS (
+      SELECT doc_id, CASE doc_id % 7
+        WHEN 0 THEN 'http://site' || doc_id || '.example.com/articles/' || doc_id
+        WHEN 1 THEN 'http://badsource.example/page' || doc_id
+        WHEN 2 THEN 'http://cdn' || doc_id || '.badsource.example/x'
+        WHEN 3 THEN 'http://host' || doc_id || '.net/casino/jackpot'
+        WHEN 4 THEN 'http://host' || doc_id || '.org/free-deal-offer'
+        WHEN 5 THEN 'http://dl' || doc_id || '.example.net/torrent-download-free'
+        ELSE 'http://news' || doc_id || '.example.org/winner-profile'
+      END AS url FROM documents
+    ), blocked(domain) AS (VALUES {blocked_rows}),
+    h AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+             CAST({score} AS INTEGER) AS spam_score
+      FROM urls
+    )
+    SELECT doc_id, url, host,
+           EXISTS (SELECT 1 FROM blocked b
+                   WHERE h.host = b.domain
+                      OR ends_with(h.host, '.' || b.domain)) AS domain_blocked,
+           spam_score,
+           (NOT EXISTS (SELECT 1 FROM blocked b
+                        WHERE h.host = b.domain
+                           OR ends_with(h.host, '.' || b.domain))
+            AND spam_score < {URL_SCORE_BLOCK}) AS url_keep
+    FROM h
+    """
+
+
+@_q("url_quality_filter", _urlq_oracle_sql)  # callable: resolved lazily
+def q_url_quality_filter(spark, sf_dir):
+    """RefinedWeb-style URL gate (§3.1: domain blocklist + weighted URL
+    keyword score) over seven seeded URL families: clean, blocked
+    domain, subdomain-of-blocked, strict keywords (casino/jackpot),
+    soft-only (free-deal-offer, kept), medium+soft combination
+    (torrent-download-free, blocked at threshold), and a benign
+    substring hit ('win' ⊂ winner, kept). Runs the SCALE path: the
+    blocklist as a broadcast dim table joined on the exploded host
+    dot-suffix set (functions/urlquality.blocklist_hits) — the oracle
+    recomputes it as host = d OR ends_with(host, '.'||d)."""
+    from .functions.urlquality import BLOCK_DOMAINS, url_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    sid = d.cast("string")
+    m = d % 7
+    url = (
+        F.when(m == 0, F.concat(F.lit("http://site"), sid, F.lit(".example.com/articles/"), sid))
+        .when(m == 1, F.concat(F.lit("http://badsource.example/page"), sid))
+        .when(m == 2, F.concat(F.lit("http://cdn"), sid, F.lit(".badsource.example/x")))
+        .when(m == 3, F.concat(F.lit("http://host"), sid, F.lit(".net/casino/jackpot")))
+        .when(m == 4, F.concat(F.lit("http://host"), sid, F.lit(".org/free-deal-offer")))
+        .when(m == 5, F.concat(F.lit("http://dl"), sid, F.lit(".example.net/torrent-download-free")))
+        .otherwise(F.concat(F.lit("http://news"), sid, F.lit(".example.org/winner-profile")))
+    )
+    df = docs.select("doc_id", url.alias("url"))
+    domains = spark.createDataFrame(
+        [(x,) for x in BLOCK_DOMAINS], "domain string"
+    )
+    return url_quality(df, "doc_id", domains_df=domains)
+
+
 def _semdedup_oracle_sql() -> str:
     """Oracle for semantic_dedup, generated from the SAME cached
     build-time centroids the Spark query broadcasts (the lm/classifier
@@ -3805,6 +3888,7 @@ def q_quality_classifier(spark, sf_dir):
 
 _NEWEST_FIRST: list[str] = [
     # round-6 additions, newest first
+    "url_quality_filter",
     "semantic_dedup",
     "webtext_pipeline_full",
     "quality_classifier",
