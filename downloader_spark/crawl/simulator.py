@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..functions.urlnorm import canonicalize_url
+from ..functions.urlquality import url_keep_py
 from ..htmlx.convert import extract_page
 from ..operators.graph import pagerank_fixedpoint_py
 from ..plans.crawlconfig import CrawlConfig
@@ -50,6 +51,7 @@ def simulate_crawl(
 ) -> SimResult:
     """pages: url -> (html_bytes, content_type)."""
     res = SimResult()
+    url_gate = cfg.resolved_url_filter() if cfg.url_filter else None
 
     # robots dim (plans/politeness.build_robots_dim equivalent)
     robots: dict[str, tuple[int | None, list[str]]] = {}
@@ -174,6 +176,15 @@ def simulate_crawl(
                 for link in ex.links:
                     c = canonicalize_url(link)
                     if not c.valid:
+                        continue
+                    # pre-frontier URL quality gate (engine mirror:
+                    # plans/wave.py discovered filter — invariant 2).
+                    # Applied AFTER the links-table edge capture above:
+                    # rank flows through low-quality nodes, they just
+                    # never enter the frontier.
+                    if url_gate is not None and not url_keep_py(
+                        c.url, c.host, *url_gate
+                    ):
                         continue
                     d = depth + 1
                     s = cfg.score_for_depth(d)

@@ -103,6 +103,27 @@ def url_spam_score(url: Column, weights: dict[str, int] | None = None) -> Column
     return score.cast("int")
 
 
+def url_keep_py(
+    url: str,
+    host: str,
+    domains: list[str],
+    weights: dict[str, int],
+    block_at: int = URL_SCORE_BLOCK,
+) -> bool:
+    """Single-node mirror of the Spark gate — the simulator side of
+    the crawl-engine parity contract (CLAUDE.md invariant 2): same
+    dot-suffix blocklist semantics, same substring keyword sum. The
+    ``host`` is passed in already canonical (lowercase), exactly like
+    the engine's c.host column."""
+    parts = host.split(".")
+    suffixes = {".".join(parts[i:]) for i in range(len(parts))}
+    if any(d in suffixes for d in domains):
+        return False
+    lu = url.lower()
+    score = sum(w for word, w in weights.items() if word in lu)
+    return score < block_at
+
+
 def blocklist_hits(
     df: DataFrame,
     domains_df: DataFrame,

@@ -86,6 +86,35 @@ class CrawlConfig:
     # as a set anywhere). 0 = off; else a power of two >= 16
     # (functions/sketch.py geometry).
     hll_metrics_m: int = 0
+    # RefinedWeb-style URL quality gate (functions/urlquality.py) on
+    # DISCOVERED links — the published recipes apply the domain
+    # blocklist + weighted URL keyword score BEFORE a URL ever enters
+    # the frontier (pre-fetch, §3.1), which is exactly this hook. Off
+    # by default; when on, a discovered link is dropped unless no
+    # blocklist domain covers its host AND its keyword score stays
+    # under url_score_block. Seeds are NOT filtered (the operator
+    # chose them); the PageRank links table is NOT filtered either
+    # (rank flows through low-quality nodes, as on the real web graph).
+    # The simulator mirrors via urlquality.url_keep_py — bit-equal
+    # string ops, so parity holds by construction.
+    url_filter: bool = False
+    url_blocklist: tuple = ()  # () → urlquality.BLOCK_DOMAINS
+    url_word_weights: tuple = ()  # () → urlquality.URL_WORD_WEIGHTS
+    url_score_block: int = 0  # 0 → urlquality.URL_SCORE_BLOCK
+
+    def resolved_url_filter(self) -> tuple[list, dict, int]:
+        """(blocklist, word_weights, block_at) with module defaults
+        filled in — the ONE resolution point both engines call."""
+        from ..functions.urlquality import (
+            BLOCK_DOMAINS,
+            URL_SCORE_BLOCK,
+            URL_WORD_WEIGHTS,
+        )
+
+        domains = list(self.url_blocklist) or list(BLOCK_DOMAINS)
+        weights = dict(self.url_word_weights) or dict(URL_WORD_WEIGHTS)
+        block_at = self.url_score_block or URL_SCORE_BLOCK
+        return domains, weights, block_at
 
     def __post_init__(self) -> None:
         if self.bloom_probe not in ("auto", "broadcast", "cogroup"):
@@ -110,6 +139,10 @@ class CrawlConfig:
             self.hll_metrics_m < 16 or self.hll_metrics_m & (self.hll_metrics_m - 1)
         ):
             raise ValueError("hll_metrics_m must be 0 (off) or a power of two >= 16")
+        if self.url_score_block < 0:
+            raise ValueError(
+                "url_score_block must be >= 0 (0 = urlquality module default)"
+            )
 
     def bloom_bitmap_bytes(self) -> int:
         return self.bloom_num_buckets * self.bloom_bits_per_bucket // 8

@@ -675,7 +675,25 @@ class CrawlEngine:
             .filter(F.col("depth") + 1 <= cfg.max_depth)
             .withColumn("c", canonicalize_udf("raw_url"))
             .filter("c.valid")
-            .select(
+        )
+        if cfg.url_filter:
+            # RefinedWeb-style pre-frontier URL gate (native columns;
+            # simulator mirror: urlquality.url_keep_py — invariant 2)
+            from ..functions.urlquality import (
+                domain_blocked_col,
+                url_spam_score,
+            )
+
+            domains, weights, block_at = cfg.resolved_url_filter()
+            discovered = discovered.filter(
+                ~domain_blocked_col(F.col("c.host"), domains)
+                & (
+                    url_spam_score(F.col("c.url_canonical"), weights)
+                    < F.lit(block_at)
+                )
+            )
+        discovered = (
+            discovered.select(
                 F.col("c.url_canonical").alias("url"),
                 F.col("c.host").alias("host"),
                 (F.col("depth") + 1).alias("depth"),

@@ -193,20 +193,41 @@ def streaming_crawl(
                 out.drop("_links").write.mode("overwrite").parquet(
                     os.path.join(results_dir, f"b{bid}")
                 )
-                discovered = (
-                    out.filter(F.col("depth") < F.lit(max_depth))
-                    .select(
-                        F.explode("_links").alias("raw"),
-                        (F.col("depth") + 1).alias("depth"),
+                if max_depth > 0:
+                    disc = (
+                        out.filter(F.col("depth") < F.lit(max_depth))
+                        .select(
+                            F.explode("_links").alias("raw"),
+                            (F.col("depth") + 1).alias("depth"),
+                        )
+                        .select(canonicalize_udf("raw").alias("c"), "depth")
+                        .filter("c.valid")
                     )
-                    .select(canonicalize_udf("raw").alias("c"), "depth")
-                    .filter("c.valid")
-                    .groupBy(F.col("c.url_canonical").alias("url"))
-                    .agg(F.min("depth").alias("depth"))
-                    .withColumn("requeued", F.lit(False))
-                    if max_depth > 0
-                    else None
-                )
+                    if cfg.url_filter:
+                        # same pre-frontier URL gate as the wave engine
+                        # (plans/wave.py discovered filter)
+                        from ..functions.urlquality import (
+                            domain_blocked_col,
+                            url_spam_score,
+                        )
+
+                        domains, weights, block_at = cfg.resolved_url_filter()
+                        disc = disc.filter(
+                            ~domain_blocked_col(F.col("c.host"), domains)
+                            & (
+                                url_spam_score(
+                                    F.col("c.url_canonical"), weights
+                                )
+                                < F.lit(block_at)
+                            )
+                        )
+                    discovered = (
+                        disc.groupBy(F.col("c.url_canonical").alias("url"))
+                        .agg(F.min("depth").alias("depth"))
+                        .withColumn("requeued", F.lit(False))
+                    )
+                else:
+                    discovered = None
                 # the seen filter dedups discovered urls against
                 # history — known urls cost one probe each next drain
                 next_front = (
