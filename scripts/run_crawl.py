@@ -40,6 +40,13 @@ def main() -> None:
     ap.add_argument("--pagerank-every", type=int, default=0,
                     help="refresh link-graph PageRank every k waves and rank "
                          "the frontier by it (0 = off)")
+    ap.add_argument("--url-filter", action="store_true",
+                    help="RefinedWeb-style pre-frontier URL gate on "
+                         "discovered links (functions/urlquality.py "
+                         "defaults; see --url-blocklist)")
+    ap.add_argument("--url-blocklist", default=None,
+                    help="comma-separated domains overriding the default "
+                         "blocklist (implies --url-filter)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,10 +66,15 @@ def main() -> None:
             pages_per_host=args.synthetic_pages_per_host,
         ).cache()
 
+    blocklist = tuple(
+        d.strip() for d in (args.url_blocklist or "").split(",") if d.strip()
+    )
     cfg = CrawlConfig(
         wave_seconds=args.wave_seconds, max_depth=args.max_depth,
         seen_filter=args.seen_filter, bloom_probe=args.bloom_probe,
         pagerank_every=args.pagerank_every,
+        url_filter=args.url_filter or bool(blocklist),
+        url_blocklist=blocklist,
     )
     eng = CrawlEngine(spark, args.warehouse, pages, cfg)
 
