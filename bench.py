@@ -65,6 +65,7 @@ HEADLINE = [
     "quality_classifier",
     "embedding_knn_ivf2",
     "semantic_dedup",
+    "url_quality_filter",
 ]
 
 

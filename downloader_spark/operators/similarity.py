@@ -365,6 +365,192 @@ def sq8_decode_py(codes, params: dict) -> list[float]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) for IVF list payloads — the step PAST SQ8
+# (Jégou et al. 2011 "Product quantization for nearest neighbor
+# search"; FAISS IVF-PQ). dim is split into m subspaces; each subspace
+# gets its own ks-centroid codebook; a vector stores m ONE-BYTE codes
+# (m bytes total vs dim bytes for SQ8 vs 8·dim for floats — dim/m ×
+# smaller again). Probes score nearest-codeword reconstructions and
+# re-rank survivors at full precision (the same _rank_tail refine step
+# as SQ8). The per-subspace codebooks are fitted DISTRIBUTED: one
+# explode into (subspace, subvector) rows, then the same grouped-Lloyd
+# job kmeans_tree uses per coarse cell — all m codebooks train together
+# in one Spark job per iteration, never a driver loop of m fits.
+# ---------------------------------------------------------------------------
+
+
+def fit_pq(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    sample_frac: float | None = None,
+) -> dict:
+    """Fit m per-subspace codebooks (ks centroids each) — returns
+    ``{"m", "ks", "dsub", "codebooks"}``. Init per subspace = the ks
+    subvectors with the smallest (xxhash64(id), id), the house no-RNG
+    rule. Requires dim % m == 0. ks ≤ 256 so a code is one byte."""
+    if ks > 256:
+        raise ValueError("fit_pq: ks must be <= 256 (one byte per code)")
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("fit_pq: empty input")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"fit_pq: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    if sample_frac is not None and sample_frac < 1.0:
+        mm = 1_000_000
+        vecs = vecs.filter(
+            F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(mm))
+            < int(sample_frac * mm)
+        )
+    # ONE explode → (subspace id, subvector) rows; every Lloyd pass
+    # below trains all m codebooks in the same distributed job
+    subrows = vecs.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("c"),
+                    F.slice("_v", j * dsub + 1, dsub).alias("v"),
+                ),
+            )
+        ).alias("s"),
+    ).select("_id", F.col("s.c").alias("_c"), F.col("s.v").alias("_v")).persist()
+    try:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("_c").orderBy(
+            F.xxhash64(F.col("_id").cast("string")), "_id"
+        )
+        init = (
+            subrows.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= ks)
+            .select("_c", "_r", "_v")
+            .collect()
+        )
+        subs: dict[int, list[list[float]]] = {}
+        for r in sorted(init, key=lambda r: (r["_c"], r["_r"])):
+            subs.setdefault(int(r["_c"]), []).append(list(r["_v"]))
+        for _ in range(iters):
+            sub_assign = make_nearest_sub_udf(subs, 1)
+            assigned = subrows.withColumn(
+                "_s", sub_assign(F.col("_c"), F.col("_v"))[0]
+            )
+            means = (
+                assigned.select("_c", "_s", F.posexplode("_v").alias("_p", "_x"))
+                .groupBy("_c", "_s", "_p")
+                .agg(F.avg("_x").alias("_m"))
+                .groupBy("_c", "_s")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                        lambda s: s["_m"],
+                    ).alias("_cent")
+                )
+                .collect()
+            )
+            new = {(int(r["_c"]), int(r["_s"])): list(r["_cent"]) for r in means}
+            subs = {
+                c: [new.get((c, j), cur[j]) for j in range(len(cur))]
+                for c, cur in subs.items()
+            }
+    finally:
+        subrows.unpersist()
+    return {
+        "m": m,
+        "ks": len(subs[0]),
+        "dsub": dsub,
+        "codebooks": [subs[j] for j in range(m)],
+    }
+
+
+def _pq_mats(pq: dict):
+    import numpy as np
+
+    return [np.asarray(cb, dtype=np.float64) for cb in pq["codebooks"]]
+
+
+def make_pq_encode_udf(pq: dict):
+    """array<float> → array<tinyint> of m codes (code − 128, true int8
+    storage like SQ8): per subspace, argmin over the codebook by the
+    |c|² − 2·s·c expansion (|s|² constant per row, dropped)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, ByteType
+
+    mats = _pq_mats(pq)
+    norms = [(M * M).sum(axis=1) for M in mats]
+    m, dsub = pq["m"], pq["dsub"]
+
+    @pandas_udf(ArrayType(ByteType()))
+    def enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        out = np.empty((len(v), m), dtype=np.int32)
+        for j in range(m):
+            S = M[:, j * dsub : (j + 1) * dsub]
+            d = norms[j][None, :] - 2.0 * (S @ mats[j].T)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series([(r - 128).astype("int8").tolist() for r in out])
+
+    return enc
+
+
+def make_pq_decode_udf(pq: dict):
+    """array<tinyint> codes → array<double> nearest-codeword
+    reconstruction (concatenated codebook rows)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    mats = _pq_mats(pq)
+    m = pq["m"]
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def dec(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        C = np.stack([np.asarray(x, dtype=np.int16) for x in codes]) + 128
+        R = np.concatenate([mats[j][C[:, j]] for j in range(m)], axis=1)
+        return pd.Series([r.tolist() for r in R])
+
+    return dec
+
+
+def pq_encode_py(vec, pq: dict) -> list[int]:
+    """Python mirror of make_pq_encode_udf (same numpy expressions)."""
+    import numpy as np
+
+    mats = _pq_mats(pq)
+    m, dsub = pq["m"], pq["dsub"]
+    v = np.asarray([float(x) for x in vec], dtype=np.float64)
+    out = []
+    for j in range(m):
+        s = v[j * dsub : (j + 1) * dsub]
+        d = (mats[j] * mats[j]).sum(axis=1) - 2.0 * (mats[j] @ s)
+        out.append(int(d.argmin()) - 128)
+    return out
+
+
+def pq_decode_py(codes, pq: dict) -> list[float]:
+    mats = _pq_mats(pq)
+    out: list[float] = []
+    for j, c in enumerate(codes):
+        out.extend(float(x) for x in mats[j][int(c) + 128])
+    return out
+
+
 class IVFIndex:
     """A built IVF index: centroids (k×dim floats, driver-side) + the
     assigned candidate table (cand_id, cvec | ccode, _c). Build ONCE,
@@ -381,12 +567,18 @@ class IVFIndex:
         persisted: bool = False,
         path: str | None = None,
         sq8: dict | None = None,
+        pq: dict | None = None,
     ):
         self.assigned = assigned
         self.centroids = centroids
         self._persisted = persisted
         self.path = path
         self.sq8 = sq8
+        self.pq = pq
+
+    @property
+    def quantized(self) -> bool:
+        return self.sq8 is not None or self.pq is not None
 
     def close(self) -> None:
         if self._persisted:
@@ -410,6 +602,8 @@ def build_ivf_index(
     path: str | None = None,
     persist: bool = True,
     quantize: str | None = None,
+    pq_m: int = 8,
+    pq_ks: int = 16,
 ) -> IVFIndex:
     """Fit k-means (optionally on a hash sample) and assign every
     candidate to its inverted list — the ONE full pass over the corpus.
@@ -417,8 +611,11 @@ def build_ivf_index(
     ``quantize='sq8'`` stores the list payload as int8 codes (fit_sq8
     codebook; one extra dim-rows shuffle at build) instead of the
     full-precision vector — the FAISS IVF-SQ8 memory/IO trade for a
-    10^9-vector corpus. Probes then need ``rerank_from`` (usually the
-    base corpus table) for exact final ranking.
+    10^9-vector corpus. ``quantize='pq'`` goes further: m one-byte
+    product-quantization codes per vector (fit_pq; dim/m × smaller
+    than SQ8 — the FAISS IVF-PQ trade where even int8 lists don't
+    fit). Probes then need ``rerank_from`` (usually the base corpus
+    table) for exact final ranking.
 
     - ``path`` given: the assigned table is written to parquet
       PARTITIONED BY the list id ``_c`` and re-read, so a probe that
@@ -439,11 +636,22 @@ def build_ivf_index(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
     ).withColumn("_c", assign(F.col("cvec"))[0])
     sq8 = None
+    pq = None
     if quantize == "sq8":
         sq8 = fit_sq8(embeddings, vec_col)
         assigned = assigned.select(
             "cand_id",
             sq8_encode_col(F.col("cvec"), sq8).alias("ccode"),
+            "_c",
+        )
+    elif quantize == "pq":
+        pq = fit_pq(
+            embeddings, vec_col, m=pq_m, ks=pq_ks, iters=iters,
+            id_col=id_col, sample_frac=sample_frac,
+        )
+        assigned = assigned.select(
+            "cand_id",
+            make_pq_encode_udf(pq)(F.col("cvec")).alias("ccode"),
             "_c",
         )
     elif quantize is not None:
@@ -461,11 +669,14 @@ def build_ivf_index(
         if sq8 is not None:
             with open(os.path.join(path, "_sq8.json"), "w") as fh:
                 json.dump(sq8, fh)
+        if pq is not None:
+            with open(os.path.join(path, "_pq.json"), "w") as fh:
+                json.dump(pq, fh)
         stored = embeddings.sparkSession.read.parquet(path)
-        return IVFIndex(stored, centroids, path=path, sq8=sq8)
+        return IVFIndex(stored, centroids, path=path, sq8=sq8, pq=pq)
     if persist:
         assigned = assigned.persist()
-    return IVFIndex(assigned, centroids, persisted=persist, sq8=sq8)
+    return IVFIndex(assigned, centroids, persisted=persist, sq8=sq8, pq=pq)
 
 
 def load_ivf_index(spark, path: str) -> IVFIndex:
@@ -483,7 +694,14 @@ def load_ivf_index(spark, path: str) -> IVFIndex:
     if os.path.exists(sq8_path):
         with open(sq8_path) as fh:
             sq8 = json.load(fh)
-    return IVFIndex(spark.read.parquet(path), centroids, path=path, sq8=sq8)
+    pq = None
+    pq_path = os.path.join(path, "_pq.json")
+    if os.path.exists(pq_path):
+        with open(pq_path) as fh:
+            pq = json.load(fh)
+    return IVFIndex(
+        spark.read.parquet(path), centroids, path=path, sq8=sq8, pq=pq
+    )
 
 
 def ivf_probe(
@@ -521,6 +739,10 @@ def ivf_probe(
         cand = cand.withColumn(
             "cvec", sq8_decode_col(F.col("ccode"), index.sq8)
         ).drop("ccode")
+    elif index.pq is not None:
+        cand = cand.withColumn(
+            "cvec", make_pq_decode_udf(index.pq)(F.col("ccode"))
+        ).drop("ccode")
     # in-memory index: the join key _c is a UDF expression, and the
     # plain == key makes Catalyst infer isnotnull(_c) — an inlined
     # constraint that gets extracted as a SECOND ArrowEvalPython over
@@ -537,7 +759,7 @@ def ivf_probe(
     )
     return _rank_tail(
         paired, queries, vec_col, k, round_to,
-        quantized=index.sq8 is not None,
+        quantized=index.quantized,
         rerank_from=rerank_from, rerank_id_col=rerank_id_col,
         rerank_factor=rerank_factor,
     )

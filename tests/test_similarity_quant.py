@@ -259,3 +259,113 @@ def test_ivf2_float_path_unchanged(spark, emb):
     index = build_ivf2_index(emb, n_coarse=3, n_sub=3, iters=1, persist=False)
     assert index.sq8 is None
     assert "cvec" in dict(index.assigned.dtypes)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round-6): m one-byte codes per vector (IVF-PQ)
+# ---------------------------------------------------------------------------
+
+
+def test_fit_pq_shapes_and_validation(spark, emb):
+    from downloader_spark.operators.similarity import fit_pq
+
+    pq = fit_pq(emb, m=8, ks=16, iters=1)
+    assert pq["m"] == 8 and pq["dsub"] == 8  # dim 64 / m 8
+    assert len(pq["codebooks"]) == 8
+    assert all(len(cb) == pq["ks"] for cb in pq["codebooks"])
+    assert all(len(c) == 8 for cb in pq["codebooks"] for c in cb)
+    with pytest.raises(ValueError):
+        fit_pq(emb, m=7, ks=16)  # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        fit_pq(emb, m=8, ks=257)  # code must fit one byte
+
+
+def test_pq_encode_decode_spark_matches_python(spark, emb):
+    from downloader_spark.operators.similarity import (
+        fit_pq,
+        make_pq_decode_udf,
+        make_pq_encode_udf,
+        pq_decode_py,
+        pq_encode_py,
+    )
+
+    pq = fit_pq(emb, m=16, ks=32, iters=2)
+    rows = (
+        emb.limit(20)
+        .select(
+            "vec_id",
+            "embedding",
+            make_pq_encode_udf(pq)(F.col("embedding")).alias("codes"),
+        )
+        .withColumn("back", make_pq_decode_udf(pq)(F.col("codes")))
+        .collect()
+    )
+    for r in rows:
+        codes = list(r["codes"])
+        assert all(-128 <= c <= 127 for c in codes)
+        assert codes == pq_encode_py(r["embedding"], pq), r["vec_id"]
+        py_back = pq_decode_py(codes, pq)
+        assert len(py_back) == len(r["back"])
+        for a, b in zip(r["back"], py_back):
+            assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_pq_index_stores_bytes_sidecar_and_loads(spark, emb, tmp_path):
+    from downloader_spark.operators.similarity import load_ivf_index
+
+    path = str(tmp_path / "ivf_pq")
+    index = build_ivf_index(
+        emb, n_centroids=8, iters=2, path=path, quantize="pq",
+        pq_m=16, pq_ks=32,
+    )
+    assert index.pq is not None and index.sq8 is None and index.quantized
+    schema = dict(index.assigned.dtypes)
+    assert schema["ccode"] == "array<tinyint>" and "cvec" not in schema
+    with open(os.path.join(path, "_pq.json")) as fh:
+        side = json.load(fh)
+    assert side["m"] == 16 and side["codebooks"] == index.pq["codebooks"]
+    loaded = load_ivf_index(spark, path)
+    assert loaded.pq == index.pq
+    qry = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, ivf_probe(
+        index, qry, k=3, nprobe=8, rerank_from=emb, rerank_factor=8
+    ).collect()))
+    b = sorted(map(tuple, ivf_probe(
+        loaded, qry, k=3, nprobe=8, rerank_from=emb, rerank_factor=8
+    ).collect()))
+    assert a == b
+
+
+def test_pq_probe_recall_with_rerank(spark, emb, tmp_path):
+    """PQ is the LOSSIEST payload (m bytes per vector) and the
+    synthetic near-orthogonal corpus is its worst case — the refine
+    step is what makes it usable, exactly as published (measured here:
+    raw reconstruction recall ~0.58, reranked 0.99 at m=16/ks=32/
+    factor 8)."""
+    qry = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk(emb, qry, k=5).collect()
+    }
+    index = build_ivf_index(
+        emb, n_centroids=8, iters=2, path=str(tmp_path / "ivf_pqr"),
+        quantize="pq", pq_m=16, pq_ks=32,
+    )
+    got = {
+        (r["query_id"], r["cand_id"])
+        for r in ivf_probe(
+            index, qry, k=5, nprobe=8, rerank_from=emb, rerank_factor=8
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"pq+rerank recall {recall}"
+    raw = {
+        (r["query_id"], r["cand_id"])
+        for r in ivf_probe(index, qry, k=5, nprobe=8).collect()
+    }
+    raw_recall = len(exact & raw) / len(exact)
+    assert raw_recall >= 0.4, f"pq reconstruction-only recall {raw_recall}"
