@@ -1951,10 +1951,24 @@ _FUZZY_TAIL_SQL = _FUZZY_KEEPERS_SQL + """
     """
 
 
+def _materialize(sql: str, *ctes: str) -> str:
+    """Mark the named CTE DEFINITIONS ``AS MATERIALIZED`` (first
+    occurrence = the definition; references don't match the pattern).
+    DuckDB INLINES multiply-referenced CTEs, so a pipeline CTE chain
+    referenced k times re-evaluates k times — measured 448 s → 1.3 s on
+    the webtext_to_shards oracle. Semantically a no-op."""
+    for cte in ctes:
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    return sql
+
+
 @_q(
     "webtext_pipeline_fuzzy",
-    _WEBTEXT_CORE_SQL.replace("{extra_corpus}", _FUZZY_EXTRA_CORPUS_SQL)
-    + _FUZZY_TAIL_SQL,
+    _materialize(
+        _WEBTEXT_CORE_SQL.replace("{extra_corpus}", _FUZZY_EXTRA_CORPUS_SQL)
+        + _FUZZY_TAIL_SQL,
+        "survivors", "fkeep",
+    ),
 )
 def q_webtext_pipeline_fuzzy(spark, sf_dir):
     """The flagship pipeline with the FUZZY doc-level dedup stage the
@@ -2037,24 +2051,18 @@ def _fuzzy_keepers(spark, sf_dir):
     return out
 
 
-def _webtext_full_oracle_sql() -> str:
-    """Oracle for webtext_pipeline_full: the ENTIRE public-recipe
-    stack recomputed relationally — seeded corpus → Gopher gate → span
-    removal → exact dedup → fuzzy MinHash dedup (recursive-CTE
-    components) → CCNet perplexity buckets → DCLM classifier keep/drop
-    — with the LM and classifier model tables generated from the SAME
-    cached dicts the Spark path broadcasts (zero cross-engine float
-    math; functions/lm.py + functions/classifier.py)."""
+def _full_scoring_ctes() -> str:
+    """The LM + classifier scoring CTE chain over the fuzzy keeper set
+    (ends at ``kscored``) — shared by the webtext_pipeline_full oracle
+    and the webtext_to_shards oracle, generated from the SAME cached
+    model dicts the Spark path broadcasts."""
     from .functions.classifier import classifier_sql_ctes, default_classifier
     from .functions.lm import default_lm, lm_sql_ctes
 
     mlm = default_lm()
     mc = default_classifier()
     B, bias = mc["n_buckets"], mc["bias_micro"]
-    return (
-        _WEBTEXT_CORE_SQL.replace("{extra_corpus}", _FUZZY_EXTRA_CORPUS_SQL)
-        + _FUZZY_KEEPERS_SQL
-        + rf"""
+    return rf"""
     , {lm_sql_ctes(mlm)},
     {classifier_sql_ctes(mc)},
     knorm AS (
@@ -2108,11 +2116,28 @@ def _webtext_full_oracle_sql() -> str:
              END AS quality_label
       FROM fkeep f LEFT JOIN kagg USING (doc_id) LEFT JOIN kcagg USING (doc_id)
     )
+    """
+
+
+def _webtext_full_oracle_sql() -> str:
+    """Oracle for webtext_pipeline_full: the ENTIRE public-recipe
+    stack recomputed relationally — seeded corpus → Gopher gate → span
+    removal → exact dedup → fuzzy MinHash dedup (recursive-CTE
+    components) → CCNet perplexity buckets → DCLM classifier keep/drop
+    — with the LM and classifier model tables generated from the SAME
+    cached dicts the Spark path broadcasts (zero cross-engine float
+    math; functions/lm.py + functions/classifier.py)."""
+    return _materialize(
+        _WEBTEXT_CORE_SQL.replace("{extra_corpus}", _FUZZY_EXTRA_CORPUS_SQL)
+        + _FUZZY_KEEPERS_SQL
+        + _full_scoring_ctes()
+        + """
     SELECT doc_id, n_fuzzy_variants, n_docs_total, n_tokens,
            ppl_bucket, quality_label,
            (quality_label = 'keep' AND ppl_bucket <> 'tail') AS kept
     FROM kscored ORDER BY doc_id
-    """
+    """,
+        "survivors", "fkeep", "kw",
     )
 
 
@@ -2144,6 +2169,133 @@ def q_webtext_pipeline_full(spark, sf_dir):
             & (F.col("ppl_bucket") != "tail")
         ).alias("kept"),
     ).orderBy("doc_id")
+    out._ckpt_ids = keepers._ckpt_ids
+    return out
+
+
+def _webtext_shards_oracle_sql() -> str:
+    """Oracle for webtext_to_shards: the full-pipeline oracle's CTE
+    chain (gate → spans → exact → fuzzy → LM → classifier → kept)
+    extended with the BPE recursive-CTE encoder over the KEPT docs'
+    cleaned text and the token-pack prefix-sum layout — the whole
+    corpus→trainable-shards path recomputed relationally in one
+    statement. Encoder/merge tables from the same cached vocab the
+    Spark UDF broadcasts (functions/bpe.default_merges); shard/order
+    hashes are md5 so DuckDB recomputes them exactly."""
+    from .functions.bpe import default_merges, merges_sql_values
+
+    sql = (
+        _WEBTEXT_CORE_SQL.replace("{extra_corpus}", _FUZZY_EXTRA_CORPUS_SQL)
+        + _FUZZY_KEEPERS_SQL
+        + _full_scoring_ctes()
+        + r"""
+    , tpmerges(rank, a, b, ab) AS (
+      VALUES {values}
+    ), tpsrc AS (
+      SELECT f.doc_id, f.cleaned_text AS text
+      FROM fkeep f JOIN kscored s USING (doc_id)
+      WHERE s.quality_label = 'keep' AND s.ppl_bucket <> 'tail'
+    ), tpbase AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM tpsrc
+    ), tpwords(w) AS (
+      SELECT DISTINCT unnest(w) FROM tpbase
+    ), tpenc(w, step, s) AS (
+      SELECT w, 0,
+        ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                                              i -> substr(w, i, 1)), ' ') || ' '
+      FROM tpwords WHERE w <> ''
+      UNION ALL
+      SELECT w, step + 1,
+        substr(s, 1, pos - 1) || ' ' || ab || ' ' || substr(s, pos + len(a) + len(b) + 3)
+      FROM (
+        SELECT e.w, e.step, e.s,
+               min_by(m.a, m.rank) AS a, min_by(m.b, m.rank) AS b,
+               min_by(m.ab, m.rank) AS ab,
+               instr(e.s, ' ' || min_by(m.a, m.rank) || ' '
+                     || min_by(m.b, m.rank) || ' ') AS pos
+        FROM tpenc e JOIN tpmerges m ON instr(e.s, ' ' || m.a || ' ' || m.b || ' ') > 0
+        GROUP BY e.w, e.step, e.s
+      )
+    ), tpwordtok AS (
+      SELECT w, len(string_split(trim(s), ' ')) AS n_tok
+      FROM (SELECT w, max_by(s, step) AS s FROM tpenc GROUP BY w)
+    ), tpocc AS (
+      SELECT doc_id, unnest(w) AS word FROM tpbase
+    ), tpagg AS (
+      SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS nt
+      FROM tpocc JOIN tpwordtok ON tpocc.word = tpwordtok.w GROUP BY doc_id
+    ), tpassigned AS (
+      SELECT doc_id, nt,
+             CAST('0x' || substr(md5(doc_id || ':pack'), 1, 15) AS BIGINT)
+               % 8 AS shard_id,
+             CAST('0x' || substr(md5(doc_id || ':ord:pack'), 1, 15) AS BIGINT)
+               AS ord
+      FROM tpagg WHERE nt > 0
+    ), tplaid AS (
+      SELECT shard_id, doc_id, nt,
+             CAST(COALESCE(SUM(nt) OVER (PARTITION BY shard_id
+                  ORDER BY ord, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS _before
+      FROM tpassigned
+    ), tppieces AS (
+      SELECT shard_id, doc_id, _before, nt,
+             unnest(generate_series(_before // 256, (_before + nt - 1) // 256))
+               AS seq_id
+      FROM tplaid
+    )
+    SELECT shard_id, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(seq_id * 256, _before) - _before AS BIGINT) AS doc_pos,
+           CAST(greatest(seq_id * 256, _before) - seq_id * 256 AS BIGINT)
+             AS start_offset,
+           CAST(least((seq_id + 1) * 256, _before + nt)
+                - greatest(seq_id * 256, _before) AS BIGINT) AS n_tokens,
+           greatest(seq_id * 256, _before) = _before AS is_doc_start,
+           least((seq_id + 1) * 256, _before + nt) = _before + nt AS is_doc_end
+    FROM tppieces ORDER BY shard_id, seq_id, start_offset, doc_id
+    """.replace("{values}", merges_sql_values(default_merges()))
+    )
+    # fkeep/kw sit under tpsrc, kscored AND the scoring chain —
+    # measured 448 s inlined → 1.3 s materialized
+    return _materialize(
+        sql, "survivors", "fkeep", "kw", "kscored", "tpsrc", "tpbase"
+    )
+
+
+@_q("webtext_to_shards", _webtext_shards_oracle_sql)  # lazy: trains models
+def q_webtext_to_shards(spark, sf_dir):
+    """The capstone composition — raw corpus to TRAINABLE SHARDS in one
+    query: the complete public-recipe pipeline (Gopher gate → span
+    removal → exact dedup → fuzzy MinHash dedup → CCNet perplexity →
+    DCLM classifier; q_webtext_pipeline_full's kept set) feeding the
+    GPT-style concatenate-and-chop packing step (BPE token counts →
+    hash shard assignment → deterministic shuffle → fixed 256-token
+    sequences with split-doc boundary metadata). The oracle recomputes
+    ALL stages relationally, including the BPE encoder as a recursive
+    CTE and the pack layout via prefix sums. Scale shape: packing runs
+    only on pipeline keepers; the pack itself is one window per shard
+    over (doc, token-count) rows — the text never re-shuffles."""
+    from .functions.bpe import bpe_token_count_udf, default_merges
+    from .functions.classifier import score_quality
+    from .functions.lm import score_perplexity
+    from .operators.packing import pack_token_shards
+
+    keepers = _fuzzy_keepers(spark, sf_dir)
+    scored = score_quality(
+        score_perplexity(keepers, text_col="cleaned_text"),
+        text_col="cleaned_text",
+    )
+    kept = scored.filter(
+        (F.col("quality_label") == "keep") & (F.col("ppl_bucket") != "tail")
+    ).select("doc_id", "cleaned_text")
+    counts = kept.select(
+        "doc_id", bpe_token_count_udf(default_merges())("cleaned_text").alias("nt")
+    )
+    out = pack_token_shards(
+        counts, "doc_id", "nt", n_shards=8, seq_len=256
+    ).orderBy("shard_id", "seq_id", "start_offset", "doc_id")
     out._ckpt_ids = keepers._ckpt_ids
     return out
 
@@ -3888,6 +4040,7 @@ def q_quality_classifier(spark, sf_dir):
 
 _NEWEST_FIRST: list[str] = [
     # round-6 additions, newest first
+    "webtext_to_shards",
     "url_quality_filter",
     "semantic_dedup",
     "webtext_pipeline_full",

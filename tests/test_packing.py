@@ -112,3 +112,37 @@ def test_validation():
         pack_token_shards(None, "doc_id", "nt", n_shards=0, seq_len=10)
     with pytest.raises(ValueError):
         pack_token_shards(None, "doc_id", "nt", n_shards=4, seq_len=0)
+
+
+def test_webtext_to_shards_composed_coverage(spark):
+    """The capstone composition (full pipeline → BPE → shards,
+    queries.q_webtext_to_shards): every kept document's full BPE token
+    count is covered by its (shard, seq, slot) pieces exactly once,
+    and sequence slots never overlap. (Value parity vs the relational
+    recompute is the driver-contract test; this pins the packing
+    INVARIANT on the composed output.)"""
+    from downloader_spark.queries import Q
+
+    rows = Q["webtext_to_shards"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "pipeline must keep at least one doc at sf0.001"
+    by_doc: dict = {}
+    by_seq: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault((r["shard_id"], r["seq_id"]), []).append(r)
+    for doc_id, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r["doc_pos"])
+        assert pieces[0]["doc_pos"] == 0 and pieces[0]["is_doc_start"]
+        assert pieces[-1]["is_doc_end"]
+        pos = 0
+        for p in pieces:
+            assert p["doc_pos"] == pos, doc_id  # contiguous, no gaps
+            pos += p["n_tokens"]
+    for (sh, sq), pieces in by_seq.items():
+        pieces.sort(key=lambda r: r["start_offset"])
+        off = pieces[0]["start_offset"]
+        assert off == 0  # sequences fill from slot 0
+        for p in pieces:
+            assert p["start_offset"] == off, (sh, sq)
+            off += p["n_tokens"]
+        assert off <= 256
