@@ -66,6 +66,7 @@ HEADLINE = [
     "embedding_knn_ivf2",
     "semantic_dedup",
     "url_quality_filter",
+    "webtext_to_shards",
 ]
 
 
