@@ -159,8 +159,6 @@ def with_repetition_arrow(df, text_col: str = "text", features=None):
     values, same subset semantics): one Arrow-batched pandas UDF
     computes the feature struct per row; flags and the composite
     ``repetition_pass`` stay native expressions over its fields."""
-    from .text import with_repetition as _native  # for the docs/contract
-
     wanted = (
         list(features) if features is not None else list(REPETITION_FEATURES)
     )

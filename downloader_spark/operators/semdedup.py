@@ -226,16 +226,24 @@ def semantic_dedup(
     Plan shape: one pandas-UDF assignment pass (no shuffle) → bare
     (id, cluster) self-join keyed on cluster (vectors re-attach by id
     after pairing — the minhash rule) → O(log diameter) component
-    rounds → one window per component for the keeper pick.
+    rounds → one window per component for the keeper pick. The
+    assigned frame is referenced four times downstream (centroid
+    cosine, both pair sides, final join-back), so it is materialized
+    ONCE via a tracked localCheckpoint — without it the assignment
+    UDF re-runs per reference (plan-audited: 4 ArrowEvalPython nodes
+    → 1). The returned frame carries ``_ckpt_ids`` for
+    operators.dedup.release_result (the house pattern).
     """
-    from .dedup import connected_keepers
+    from .dedup import _ckpt_tracked, connected_keepers
 
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
     )
     nearest = make_nearest_centroid_exact_udf(centroids_micro)
-    asg = base.withColumn("cluster", nearest(micro_col(F.col("_v"))))
+    asg, asg_ids = _ckpt_tracked(
+        base.withColumn("cluster", nearest(micro_col(F.col("_v"))))
+    )
 
     # centroid doubles for the cosine-to-centroid column: EXACTLY
     # m / 1e6 in both engines (IEEE double division of the same ints)
@@ -287,13 +295,15 @@ def semantic_dedup(
     w = Window.partitionBy("component").orderBy(
         F.asc("cos_centroid"), F.asc("_id")
     )
-    return full.select(
+    out = full.select(
         F.col("_id").alias(id_col),
         "cluster",
         "component",
         "cos_centroid",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+    out._ckpt_ids = asg_ids
+    return out
 
 
 def centroids_sql_values(centroids_micro: list[list[int]]) -> str:

@@ -3307,12 +3307,15 @@ def q_semantic_dedup(spark, sf_dir):
     pick end-to-end from the same centroid literals."""
     from .operators.semdedup import default_semdedup_centroids, semantic_dedup
 
-    return semantic_dedup(
+    res = semantic_dedup(
         spark,
         _seeded_near_dup_corpus(spark, sf_dir),
         default_semdedup_centroids(),
         threshold=0.9,
-    ).orderBy("vec_id")
+    )
+    out = res.orderBy("vec_id")
+    out._ckpt_ids = res._ckpt_ids  # release hook survives the orderBy
+    return out
 
 
 @_q(
