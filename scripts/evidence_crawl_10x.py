@@ -39,6 +39,16 @@ def main() -> None:
         overrides.update(seen_filter="cuckoo", cuckoo_table_rows=1 << 15)
     if "--pagerank" in sys.argv:
         overrides.update(pagerank_every=1)
+    if "--url-filter" in sys.argv:
+        # r6 pre-frontier URL gate at evidence scale: block two of the
+        # Zipf-heavy generated hosts and score a real path fragment, so
+        # the gate FIRES on a meaningful share of discovered links
+        overrides.update(
+            url_filter=True,
+            url_blocklist=("site0003.example", "site0007.example"),
+            url_word_weights=(("/p/1", 3), ("/p/2", 2)),
+            url_score_block=3,
+        )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = _session(cpus)
     out = _wave_scale_curve(
