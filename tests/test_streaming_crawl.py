@@ -174,3 +174,37 @@ def test_streaming_crawl_releases_checkpoint_blocks(spark, tmp_path, web):
     before = n_persistent()
     streaming_crawl(spark, str(tmp_path / "sc_mem"), pages_df, seeds, max_depth=1)
     assert n_persistent() <= before
+
+
+def test_streaming_crawl_url_filter_matches_simulator(spark, tmp_path, web):
+    """The r6 pre-frontier URL gate in the DRAIN LOOP: with a blocklist
+    naming a real generated host, the streaming fetch set must equal
+    the simulator's gated ok-set — the seed on the blocked host is
+    still fetched (seeds bypass the gate), its discovered same-host
+    links are not."""
+    pages_df, page_map, seeds = web
+    cfg = CrawlConfig(
+        wave_seconds=10**6, max_per_host_per_wave=10**6,
+        max_urls_per_wave=10**9, max_depth=MAX_DEPTH,
+        url_filter=True, url_blocklist=("site0002.example",),
+        url_word_weights=(("/p/3", 5),), url_score_block=5,
+    )
+    sim = simulate_crawl(page_map, seeds, cfg, max_waves=MAX_DEPTH + 2)
+    gated_ok = {u: sim.texts[u] for u, st in sim.statuses.items() if st == "ok"}
+    ungated = simulate_crawl(page_map, seeds, GENEROUS, max_waves=MAX_DEPTH + 2)
+    ungated_ok = {u for u, st in ungated.statuses.items() if st == "ok"}
+    assert set(gated_ok) < ungated_ok, "gate must actually drop fetches"
+    assert "http://site0002.example/p/0" in gated_ok  # the seed bypasses
+
+    stats = streaming_crawl(
+        spark, str(tmp_path / "sc_urlf"), pages_df, seeds,
+        max_depth=MAX_DEPTH, cfg=cfg,
+    )
+    rows = _read_results(spark, stats["results_dir"]).collect()
+    got = {r["url"]: r["text"] for r in rows}
+    assert got == gated_ok
+    for u in got:
+        host = u.split("://", 1)[1].split("/", 1)[0]
+        if host == "site0002.example":
+            assert u == "http://site0002.example/p/0", u
+        assert "/p/3" not in u or u in set(seeds), u
