@@ -242,6 +242,25 @@ def _ivf_bench(spark, sf_dir, n_centroids=64, nprobe=8):
         ref = {(r["query_id"], r["cand_id"]) for r in float_rows}
         got_q = {(r["query_id"], r["cand_id"]) for r in q_rows}
         q_recall = round(len(ref & got_q) / len(ref), 4) if ref else 0.0
+        # PQ list payload (r6): m one-byte codes per vector — dim/m ×
+        # smaller than SQ8; reconstruction-scored, survivors re-ranked
+        # at full precision with a wider factor (PQ is lossier)
+        t0 = time.monotonic()
+        pindex = build_ivf_index(
+            emb, n_centroids=n_centroids, iters=2, sample_frac=0.5,
+            path=f"{d}/ivf_pq", quantize="pq", pq_m=16, pq_ks=32,
+        )
+        p_build_sec = round(time.monotonic() - t0, 4)
+        ivf_probe(
+            pindex, qry, k=5, nprobe=nprobe, rerank_from=emb, rerank_factor=8
+        ).count()
+        t0 = time.monotonic()
+        p_rows = ivf_probe(
+            pindex, qry, k=5, nprobe=nprobe, rerank_from=emb, rerank_factor=8
+        ).collect()
+        p_probe_sec = round(time.monotonic() - t0, 4)
+        got_p = {(r["query_id"], r["cand_id"]) for r in p_rows}
+        p_recall = round(len(ref & got_p) / len(ref), 4) if ref else 0.0
     emb.unpersist(), qry.unpersist()
     return {
         "n_candidates": n_cand,
@@ -256,6 +275,14 @@ def _ivf_bench(spark, sf_dir, n_centroids=64, nprobe=8):
             "probe_rerank_sec": q_probe_sec,
             "recall_vs_float_probe": q_recall,
             "payload_bytes_per_dim": 1,
+        },
+        "pq": {
+            "build_sec": p_build_sec,
+            "probe_rerank_sec": p_probe_sec,
+            "recall_vs_float_probe": p_recall,
+            "pq_m": 16,
+            "pq_ks": 32,
+            "payload_bytes_per_vector": 16,
         },
     }
 
