@@ -25,9 +25,13 @@ def _tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language stopword-hit counts (with multiplicity) over tokens."""
-    toks = _tokens(text)
+def lang_scores_of_tokens(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (with multiplicity) over an
+    ALREADY-SPLIT token array. Hot paths must pass a MATERIALIZED
+    column (prior projection): an inline split expression referenced by
+    the four per-language filter lambdas re-inlines the lower+trim+
+    regexp-split work 4× (the shingles_of_words rule; CLAUDE.md
+    invariant 8 materialization class)."""
     out = {}
     for lang, markers in LANG_MARKERS.items():
         marker_arr = F.array(*[F.lit(m) for m in markers])
@@ -35,10 +39,14 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return out
 
 
-def detect_lang(text: Column) -> Column:
-    """argmax over lang_scores, ties broken alphabetically (first lang);
-    'und' when nothing matches."""
-    scores = lang_scores(text)
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (with multiplicity) over tokens."""
+    return lang_scores_of_tokens(_tokens(text))
+
+
+def detect_lang_from_tokens(toks: Column) -> Column:
+    """argmax over lang_scores_of_tokens — see detect_lang."""
+    scores = lang_scores_of_tokens(toks)
     pairs = F.array(
         *[
             F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
@@ -48,6 +56,12 @@ def detect_lang(text: Column) -> Column:
     max_score = F.array_max(F.transform(pairs, lambda p: p["score"]))
     winner = F.array_min(F.filter(pairs, lambda p: p["score"] == max_score))["lang"]
     return F.when(max_score <= 0, F.lit("und")).otherwise(winner)
+
+
+def detect_lang(text: Column) -> Column:
+    """argmax over lang_scores, ties broken alphabetically (first lang);
+    'und' when nothing matches."""
+    return detect_lang_from_tokens(_tokens(text))
 
 
 def token_count(text: Column) -> Column:

@@ -201,6 +201,86 @@ def _norm(a):
     )
 
 
+def _spark_round(x: float, round_to: int) -> float:
+    """Spark Round(DoubleType, n): BigDecimal.valueOf (shortest repr) →
+    setScale(n, HALF_UP) → double (the repetition_arrow._round6 mirror,
+    scale-parameterised)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-round_to)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _make_cluster_edges_fn(threshold: float, round_to: int, block: int = 2048):
+    """applyInPandas kernel: one cluster's (_id, _v) rows in → the
+    (id_a, id_b) pairs with round(cosine, round_to) >= threshold out
+    (id_a < id_b), replacing the old within-cluster self-join + two
+    vector re-attach joins + HOF cosine over every pair (r7; guide
+    §2.3/§4.2 — the pair table existed only to be thresholded).
+
+    Exactness: dot/norm use the same elementwise per-dimension
+    accumulation as the F.aggregate folds they replace (single IEEE
+    mul + add per step — bit-identical; see similarity.py's kernel
+    block). The threshold test is on the ROUNDED cosine; raw scores
+    farther than 1e-9 from the decision boundary
+    (threshold − 0.5·quantum) decide directly, the (empirically empty)
+    boundary band goes through the exact _spark_round mirror."""
+    import numpy as np
+
+    quantum = 10.0 ** (-round_to)
+    cut = threshold - 0.5 * quantum
+    band = 1e-9
+
+    def edges_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+        )[order]
+        dim = V.shape[1]
+        # candidate norms: the same fold as _norm()
+        nsq = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            c = V[:, d]
+            nsq = nsq + c * c
+        nrm = np.sqrt(nsq)
+        out_a, out_b = [], []
+        for i0 in range(0, n, block):
+            A = V[i0 : i0 + block]
+            for j0 in range(i0, n, block):
+                B = V[j0 : j0 + block]
+                acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + A[:, d][:, None] * B[:, d][None, :]
+                sims = acc / (
+                    nrm[i0 : i0 + block][:, None] * nrm[j0 : j0 + block][None, :]
+                )
+                # strict upper triangle in sorted-id space == id_a < id_b
+                ia = np.arange(i0, i0 + A.shape[0])
+                jb = np.arange(j0, j0 + B.shape[0])
+                upper = ia[:, None] < jb[None, :]
+                hit = upper & (sims >= cut - band)
+                ii, jj = np.nonzero(hit)
+                if len(ii):
+                    s = sims[ii, jj]
+                    sure = s >= cut + band
+                    for t in np.nonzero(~sure)[0]:
+                        sure[t] = _spark_round(float(s[t]), round_to) >= threshold
+                    ii, jj = ii[sure], jj[sure]
+                    out_a.append(ids[ia[ii]])
+                    out_b.append(ids[jb[jj]])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return edges_fn
+
+
 def semantic_dedup(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -262,27 +342,24 @@ def semantic_dedup(
         ),
     ).drop("_c")
 
-    keys = asg.select("_id", "cluster")
-    l, r = keys.alias("l"), keys.alias("r")
-    cand = l.join(
-        r,
-        on=[
-            F.col("l.cluster") == F.col("r.cluster"),
-            F.col("l._id") < F.col("r._id"),
-        ],
-    ).select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-    vecs = asg.select("_id", "_v")
-    paired = cand.join(
-        vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a"
-    ).join(
-        vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b"
+    # within-cluster edges via the Arrow kernel (r7): each cluster's
+    # rows group to one task and all pairs are scored/thresholded in
+    # numpy with the bit-exact fold order — the old bare-id self-join,
+    # the two vector re-attach joins and the HOF cosine over every
+    # pair are gone (at sf1.0 that pair table was ~26M rows, each
+    # carrying two 64-double arrays through two joins).
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = asg.schema["_id"].dataType
+    edge_schema = StructType(
+        [StructField("id_a", id_type), StructField("id_b", id_type)]
     )
-    sim = _dot(F.col("_va"), F.col("_vb")) / (
-        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    edges_fn = _make_cluster_edges_fn(threshold, round_to)
+    edges = (
+        asg.select("cluster", "_id", "_v")
+        .groupBy("cluster")
+        .applyInPandas(lambda _key, pdf: edges_fn(pdf), edge_schema)
     )
-    edges = paired.select(
-        "id_a", "id_b", F.round(sim, round_to).alias("_cos")
-    ).filter(F.col("_cos") >= threshold)
 
     comp = connected_keepers(edges).select(
         F.col("node").alias("_id"), F.col("keeper").alias("component")

@@ -48,33 +48,19 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
-    queries: (query_id, embedding). Broadcast the (small) query set
-    against the (huge) candidate scan; per-query top-k via window rank
-    on (sim desc, cand_id) — deterministic ties.
-    """
+    queries: (query_id, embedding) — the broadcast-small side, shipped
+    to the candidate scan in the kernel closure. One mapInPandas pass
+    scores every (candidate batch × query) pair in numpy with the
+    bit-exact fold order (see the kernel comment block) and emits only
+    per-batch top-k supersets; the unchanged round + window-rank tail
+    then runs over ~batches × queries × k rows instead of the old
+    candidates × queries pair table (guide §2.3/§4.2)."""
     cand = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
     )
-    qry = queries.select(
-        F.col("query_id"), F.col(vec_col).alias("qvec")
-    )
-    scored = cand.crossJoin(F.broadcast(qry)).filter(
-        F.col("cand_id") != F.col("query_id")
-    )
-    sim = _dot(F.col("cvec"), F.col("qvec")) / (
-        _norm(F.col("cvec")) * _norm(F.col("qvec"))
-    )
-    scored = scored.select(
-        "query_id", "cand_id", F.round(sim, round_to).alias("cosine")
-    )
-    from .topk import per_key_topk
-
-    return per_key_topk(
-        scored,
-        ["query_id"],
-        [F.desc("cosine"), F.asc("cand_id")],
-        k=k,
-    ).select("query_id", "cand_id", "cosine", "rnk")
+    qry = queries.select(F.col("query_id"), F.col(vec_col).alias("qvec"))
+    superset = _kernel_topk_superset(cand, qry, k, round_to, vec_col="qvec")
+    return _topk_tail(superset, k, round_to)
 
 
 def hyperplane_signature(
@@ -114,6 +100,183 @@ def hyperplane_signature(
 
 #: exact path refuses inputs larger than this (see embedding_near_dups)
 MAX_EXACT_ROWS = 50_000
+
+
+# ---------------------------------------------------------------------------
+# Arrow scoring kernel (r7 optimization round).
+#
+# Every top-k query path (brute force, IVF probe, tree probe, LSH)
+# used to materialize the full (candidate × query) pair table and
+# score it with higher-order-function fold expressions — at sf1.0
+# that is 4M+ rows each dragging two 64-float arrays through the plan
+# and a 4M-row window shuffle (guide §2.3/§4.2: the pairs exist only
+# to be ranked; the payload bytes and the per-element HOF interpreter
+# work dominate). The kernel replaces that with ONE mapInPandas pass
+# over the candidate table: each Arrow batch scores all queries at
+# once in numpy and emits only a per-batch top-k SUPERSET, so the
+# shuffle/window runs on ~batches × queries × k rows instead of
+# candidates × queries.
+#
+# Exactness contract (the oracle hashes pin every output bit):
+# - dot/norm are computed as the SAME IEEE-754 double sequence as the
+#   F.aggregate folds they replace: a Python loop over dimensions doing
+#   elementwise acc = acc + (c_d * q_d) — numpy elementwise ops are
+#   single correctly-rounded IEEE ops, so the result is bit-identical
+#   to the JVM's left-to-right fold (never np.dot/@, whose blocked
+#   summation reassociates).
+# - per-batch selection keeps every candidate within MARGIN = 2.5e-6
+#   (2.5 rounding quanta) of the batch's k-th best raw score. The
+#   final ranking is by (round(sim, 6) DESC, cand_id): if a candidate
+#   x is in the batch top-k under THAT order, any y ranked above x has
+#   round(y) >= round(x), hence raw y > raw x - 1.5 quanta, so x is
+#   never cut by the raw-score margin — the union of batch supersets
+#   contains the global top-k, and the unchanged F.round +
+#   per_key_topk tail reproduces the old output exactly.
+# ---------------------------------------------------------------------------
+
+
+def _collect_query_matrix(queries: DataFrame, vec_col: str):
+    """Driver-side (query_id list, float64 matrix) for the query batch.
+    The query side was already assumed broadcast-small by every path
+    here (F.broadcast(qry)); collecting it moves the same bytes once."""
+    import numpy as np
+
+    rows = queries.select("query_id", vec_col).collect()
+    qids = [r[0] for r in rows]
+    if not rows:
+        return qids, np.zeros((0, 1), dtype=np.float64)
+    Q = np.asarray(
+        [[float(x) for x in r[1]] for r in rows], dtype=np.float64
+    )
+    return qids, Q
+
+
+def _fold_norms(M):
+    """sqrt of the left-to-right fold of squares per row — bit-equal to
+    _norm()'s aggregate expression."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for d in range(M.shape[1]):
+        c = M[:, d]
+        acc = acc + c * c
+    return np.sqrt(acc)
+
+
+def _fold_dot_and_norm(C, Q):
+    """(dots n×m, candidate norms n) with the exact fold order of
+    _dot()/_norm(): per dimension, one IEEE multiply then one IEEE add."""
+    import numpy as np
+
+    n = C.shape[0]
+    dots = np.zeros((n, Q.shape[0]), dtype=np.float64)
+    cn = np.zeros(n, dtype=np.float64)
+    for d in range(C.shape[1]):
+        c = C[:, d]
+        cn = cn + c * c
+        dots = dots + c[:, None] * Q[:, d][None, :]
+    return dots, np.sqrt(cn)
+
+
+def _kernel_topk_superset(
+    cand: DataFrame,
+    queries: DataFrame,
+    k: int,
+    round_to: int = 6,
+    vec_col: str = "embedding",
+    extra_cols: tuple = (),
+    mask_fn=None,
+    num_parts: int | None = None,
+    q_collected=None,
+) -> DataFrame:
+    """(query_id, cand_id, cosine<raw double>) containing, per Arrow
+    batch of the candidate scan, a superset of that batch's top-k by
+    (round(cosine, round_to) DESC, cand_id ASC) — see the module
+    comment above for the margin proof. ``mask_fn(pdf, cid, nq)``
+    returns a (len(pdf) × nq) bool matrix of admissible pairs (probe
+    membership, LSH bucket match); cand_id == query_id is always
+    excluded. Raw doubles are returned so the caller's unchanged
+    F.round + per_key_topk tail sees the same values as the HOF path."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # q_collected: (qids, Q) when the caller already collected the query
+    # batch (probe-list derivation) — mask row order must match Q's
+    qids, Q = (
+        q_collected if q_collected is not None
+        else _collect_query_matrix(queries, vec_col)
+    )
+    schema = StructType(
+        [
+            StructField("query_id", queries.schema["query_id"].dataType),
+            StructField("cand_id", cand.schema["cand_id"].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    spark = cand.sparkSession
+    if not qids:
+        return spark.createDataFrame([], schema)
+    qn = _fold_norms(Q)
+    nq = len(qids)
+    qid_arr = np.asarray(qids)
+    margin = 2.5 * (10.0 ** (-round_to))
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+            )
+            cid = pdf["cand_id"].to_numpy()
+            dots, cn = _fold_dot_and_norm(C, Q)
+            sims = dots / (cn[:, None] * qn[None, :])
+            valid = cid[:, None] != qid_arr[None, :]
+            if mask_fn is not None:
+                valid &= mask_fn(pdf, cid, nq)
+            neg = np.where(valid, sims, -np.inf)
+            out_q, out_c, out_s = [], [], []
+            n = len(cid)
+            for j in range(nq):
+                col = neg[:, j]
+                n_valid = int(valid[:, j].sum())
+                if n_valid == 0:
+                    continue
+                if n_valid > k:
+                    kth = np.partition(col, n - k)[n - k]
+                    keep = col >= kth - margin
+                else:
+                    keep = valid[:, j]
+                idx = np.nonzero(keep)[0]
+                out_q.append(np.full(len(idx), qid_arr[j]))
+                out_c.append(cid[idx])
+                out_s.append(sims[idx, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "cand_id": np.concatenate(out_c),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+    if num_parts is None:
+        num_parts = spark.sparkContext.defaultParallelism
+    src = cand.select("cand_id", "cvec", *extra_cols)
+    return src.repartition(num_parts, "cand_id").mapInPandas(gen, schema)
+
+
+def _topk_tail(superset: DataFrame, k: int, round_to: int) -> DataFrame:
+    """F.round + per-query window rank — byte-identical to the tail the
+    HOF paths used, now over the tiny kernel superset."""
+    from .topk import per_key_topk
+
+    scored = superset.select(
+        "query_id", "cand_id", F.round(F.col("cosine"), round_to).alias("cosine")
+    )
+    return per_key_topk(
+        scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k=k
+    ).select("query_id", "cand_id", "cosine", "rnk")
 
 
 def embedding_near_dups(
@@ -729,7 +892,44 @@ def ivf_probe(
     RE-RANK each query's top k·rerank_factor reconstruction-scored
     survivors exactly: the survivor set is tiny (n_queries × k·factor)
     and broadcasts into the id join, so full-precision vectors are
-    touched only for survivors (FAISS SQ8 refine step)."""
+    touched only for survivors (FAISS SQ8 refine step).
+
+    Float (non-quantized) probes run the Arrow scoring kernel (r7):
+    probe lists are derived driver-side with the same numpy expression
+    the probe UDF used, a stored index is pre-filtered natively on the
+    ``_c`` PARTITION column (static pruning — only probed lists' files
+    are read), and each candidate batch scores only the queries probing
+    its list. The list join, the pair table and its window shuffle are
+    gone; the round + rank tail is unchanged."""
+    if not index.quantized:
+        import numpy as np
+
+        qry = queries.select("query_id", F.col(vec_col).alias("qvec"))
+        qids, Q = _collect_query_matrix(qry, "qvec")
+        C = np.asarray(index.centroids, dtype=np.float64)
+        cn = (C * C).sum(axis=1)
+        n_lists = len(index.centroids)
+        n_probe = min(nprobe, n_lists)
+        lists = np.argsort(
+            cn[None, :] - 2.0 * (Q @ C.T), axis=1, kind="stable"
+        )[:, :n_probe]
+        probe_bool = np.zeros((len(Q), n_lists), dtype=bool)
+        for j, row in enumerate(lists):
+            probe_bool[j, row] = True
+        cand = index.assigned
+        if index.path is not None and n_probe < n_lists:
+            probed = sorted({int(c) for row in lists for c in row})
+            cand = cand.filter(F.col("_c").isin(probed))
+
+        def mask_fn(pdf, cid, nq):
+            return probe_bool[:, pdf["_c"].to_numpy()].T
+
+        superset = _kernel_topk_superset(
+            cand, qry, k, round_to, vec_col="qvec",
+            extra_cols=("_c",), mask_fn=mask_fn, q_collected=(qids, Q),
+        )
+        return _topk_tail(superset, k, round_to)
+
     probe = make_nearest_centroids_udf(index.centroids, nprobe)
     qry = queries.select(
         "query_id", F.col(vec_col).alias("qvec")
@@ -1130,33 +1330,43 @@ def make_tree_probe_udf(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
-    C = np.asarray(coarse, dtype=np.float64)
-    cn = (C * C).sum(axis=1)
-    mats = {c: np.asarray(m, dtype=np.float64) for c, m in subs.items()}
-    norms = {c: (M * M).sum(axis=1) for c, M in mats.items()}
-    w = min(wprobe, len(coarse))
-
     @pandas_udf(ArrayType(IntegerType()))
     def probe(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
         M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        dc = cn[None, :] - 2.0 * (M @ C.T)
-        cells = np.argsort(dc, axis=1, kind="stable")[:, :w]
-        out = []
-        for row, cs in zip(M, cells):
-            cand: list[tuple[float, int]] = []
-            for c in cs:
-                Cs, csn = mats[int(c)], norms[int(c)]
-                d = csn - 2.0 * (Cs @ row)
-                cand.extend(
-                    (float(dj), int(c) * n_sub + j) for j, dj in enumerate(d)
-                )
-            cand.sort()
-            out.append([lid for _, lid in cand[:nprobe]])
-        return pd.Series(out)
+        return pd.Series(
+            _tree_probe_rows(M, coarse, subs, n_sub, wprobe, nprobe)
+        )
 
     return probe
+
+
+def _tree_probe_rows(M, coarse, subs, n_sub, wprobe, nprobe):
+    """Probe-list derivation shared by the tree-probe UDF and the
+    driver-side kernel path — one list of probed list ids per row of
+    the float64 query matrix ``M`` (same expressions either way)."""
+    import numpy as np
+
+    C = np.asarray(coarse, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    mats = {c: np.asarray(m, dtype=np.float64) for c, m in subs.items()}
+    norms = {c: (S * S).sum(axis=1) for c, S in mats.items()}
+    w = min(wprobe, len(coarse))
+    dc = cn[None, :] - 2.0 * (M @ C.T)
+    cells = np.argsort(dc, axis=1, kind="stable")[:, :w]
+    out = []
+    for row, cs in zip(M, cells):
+        cand: list[tuple[float, int]] = []
+        for c in cs:
+            Cs, csn = mats[int(c)], norms[int(c)]
+            d = csn - 2.0 * (Cs @ row)
+            cand.extend(
+                (float(dj), int(c) * n_sub + j) for j, dj in enumerate(d)
+            )
+        cand.sort()
+        out.append([lid for _, lid in cand[:nprobe]])
+    return out
 
 
 def ivf2_probe(
@@ -1177,7 +1387,39 @@ def ivf2_probe(
     nprobe ≥ total lists the result EQUALS brute force (each candidate
     lives in exactly one list), which is the oracle configuration.
     Against a quantized tree (``index.sq8``), pass ``rerank_from`` for
-    the exact FAISS refine step (see _rank_tail)."""
+    the exact FAISS refine step (see _rank_tail).
+
+    Float probes run the Arrow scoring kernel (r7, same contract as
+    ivf_probe): tree probe lists derived driver-side via the shared
+    _tree_probe_rows, stored indexes pre-filtered on the ``_c``
+    partition column, per-batch top-k supersets instead of the pair
+    join + full window shuffle."""
+    if index.sq8 is None:
+        import numpy as np
+
+        qry = queries.select("query_id", F.col(vec_col).alias("qvec"))
+        qids, Q = _collect_query_matrix(qry, "qvec")
+        lists = _tree_probe_rows(
+            Q, index.coarse, index.subs, index.n_sub, wprobe, nprobe
+        ) if len(Q) else []
+        n_lists = len(index.coarse) * index.n_sub
+        probe_bool = np.zeros((len(lists), max(n_lists, 1)), dtype=bool)
+        for j, row in enumerate(lists):
+            probe_bool[j, row] = True
+        cand = index.assigned
+        probed = sorted({int(c) for row in lists for c in row})
+        if index.path is not None and len(probed) < n_lists:
+            cand = cand.filter(F.col("_c").isin(probed))
+
+        def mask_fn(pdf, cid, nq):
+            return probe_bool[:, pdf["_c"].to_numpy()].T
+
+        superset = _kernel_topk_superset(
+            cand, qry, k, round_to, vec_col="qvec",
+            extra_cols=("_c",), mask_fn=mask_fn, q_collected=(qids, Q),
+        )
+        return _topk_tail(superset, k, round_to)
+
     probe = make_tree_probe_udf(
         index.coarse, index.subs, index.n_sub, wprobe, nprobe
     )
@@ -1267,6 +1509,25 @@ def make_hyperplane_sigs_udf(dim: int, n_planes: int, n_tables: int, seed: int =
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
+    W = _hyperplane_weight_matrix(dim, n_planes, n_tables, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        per_table = _pack_signatures(M, W, n_planes, n_tables)
+        return pd.Series([row.tolist() for row in per_table])
+
+    return sigs
+
+
+def _hyperplane_weight_matrix(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """The (dim × tables·planes) hash-grid weight matrix shared by the
+    signature UDF and the kernel path — same values as
+    hyperplane_signature's per-plane literals."""
+    import numpy as np
+
     from ..functions.hashing import xxh64_str
 
     W = np.empty((dim, n_tables * n_planes), dtype=np.float64)
@@ -1276,20 +1537,19 @@ def make_hyperplane_sigs_udf(dim: int, n_planes: int, n_tables: int, seed: int =
                 W[i, t * n_planes + p] = xxh64_str(
                     f"{seed + 1000 * t}:{p}:{i}"
                 ) / float(2**63)
+    return W
+
+
+def _pack_signatures(M, W, n_planes: int, n_tables: int):
+    """(n × tables) int64 signatures from the float64 row matrix — the
+    exact expression the signature UDF always used."""
+    import numpy as np
+
     shifts = np.arange(n_planes, dtype=np.int64)
-
-    @pandas_udf(ArrayType(LongType()))
-    def sigs(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        bits = (M @ W) >= 0  # n × (tables·planes)
-        per_table = (
-            bits.reshape(len(v), n_tables, n_planes).astype(np.int64) << shifts
-        ).sum(axis=2)
-        return pd.Series([row.tolist() for row in per_table])
-
-    return sigs
+    bits = (M @ W) >= 0  # n × (tables·planes)
+    return (
+        bits.reshape(M.shape[0], n_tables, n_planes).astype(np.int64) << shifts
+    ).sum(axis=2)
 
 
 def _exploded_sigs(df: DataFrame, id_cols: list[str], vec, dim, n_planes, n_tables):
@@ -1314,42 +1574,38 @@ def lsh_topk(
     """Approximate top-k: candidates bucketed by hyperplane signature;
     each query probes its own bucket(s) only. Recall < 1 by design; the
     trade is one bucket-key shuffle instead of a full scan per query.
-    ``n_tables`` > 1 OR-amplifies recall with L independent tables
-    (candidate rows explode L×; the join key is (table, signature) so
-    it is still ONE shuffle)."""
-    # vectors NEVER enter the candidate join (same rule as
-    # minhash_band_candidates): the L-table explode multiplies rows
-    # L×, and carrying two dim-float arrays through that shuffle +
-    # the dedupe costs L× the payload for nothing — bucket-join bare
-    # (id, tbl, sig) keys, dedupe pairs, then re-attach vectors by id
-    # (candidate side one hash join; query side broadcast).
-    sig_c = _exploded_sigs(
-        embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v")),
-        ["cand_id"], F.col("v"), dim, n_planes, n_tables,
-    )
-    sig_q = _exploded_sigs(
-        queries.select("query_id", F.col(vec_col).alias("v")),
-        ["query_id"], F.col("v"), dim, n_planes, n_tables,
-    )
-    paired = (
-        sig_c.join(sig_q, ["_tbl", "_sig"])
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id")
-        .dropDuplicates(["query_id", "cand_id"])
-    )
-    cvecs = embeddings.select(
+    ``n_tables`` > 1 OR-amplifies recall with L independent tables.
+
+    r7: the bucket join/explode/dedupe pipeline is replaced by the
+    Arrow scoring kernel — query signatures are derived driver-side
+    (same _pack_signatures expression the signature UDF used),
+    candidate signatures per batch inside the kernel, and the
+    any-table-match test becomes the pair-admissibility mask. Only
+    same-bucket pairs are scored, as before; the L× candidate-row
+    explode, the (table, signature) shuffle and the pair dedupe are
+    gone (guide §2.3/§2.4)."""
+    import numpy as np
+
+    W = _hyperplane_weight_matrix(dim, n_planes, n_tables)
+    qry = queries.select("query_id", F.col(vec_col).alias("qvec"))
+    qids, Q = _collect_query_matrix(qry, "qvec")
+    qsig = _pack_signatures(Q, W, n_planes, n_tables) if len(Q) else None
+
+    def mask_fn(pdf, cid, nq):
+        C = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+        )
+        csig = _pack_signatures(C, W, n_planes, n_tables)
+        m = np.zeros((len(cid), nq), dtype=bool)
+        for t in range(n_tables):
+            m |= csig[:, t][:, None] == qsig[:, t][None, :]
+        return m
+
+    cand = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
     )
-    qvecs = queries.select("query_id", F.col(vec_col).alias("qvec"))
-    paired = paired.join(cvecs, "cand_id").join(F.broadcast(qvecs), "query_id")
-    sim = _dot(F.col("cvec"), F.col("qvec")) / (
-        _norm(F.col("cvec")) * _norm(F.col("qvec"))
+    superset = _kernel_topk_superset(
+        cand, qry, k, round_to, vec_col="qvec",
+        mask_fn=mask_fn, q_collected=(qids, Q),
     )
-    scored = paired.select(
-        "query_id", "cand_id", F.round(sim, round_to).alias("cosine")
-    )
-    from .topk import per_key_topk
-
-    return per_key_topk(
-        scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k=k
-    ).select("query_id", "cand_id", "cosine", "rnk")
+    return _topk_tail(superset, k, round_to)

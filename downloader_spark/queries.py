@@ -2407,11 +2407,15 @@ _LANG_SQL_SCORES = ", ".join(
     """,
 )
 def q_detect_lang_counts(spark, sf_dir):
-    from .functions.text import detect_lang
+    # tokens materialized in their own projection (r7): the inline form
+    # re-ran lower+trim+regexp-split once per language filter lambda —
+    # the shingles_of_words rule applied to the lang scorer
+    from .functions.text import _tokens, detect_lang_from_tokens
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(detect_lang(F.col("text")).alias("detected"))
+        docs.select(_tokens(F.col("text")).alias("_toks"))
+        .select(detect_lang_from_tokens(F.col("_toks")).alias("detected"))
         .groupBy("detected")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("detected")

@@ -91,13 +91,14 @@ def test_fanout_single_arrow_eval(spark):
     assert "Generate" in plan  # the format explode
 
 
-def test_ivf_join_is_hash_join_no_python(spark):
-    """The IVF probe joins candidate lists to query probes on the
-    centroid id — a hash join (broadcast or shuffled), never a
-    nested-loop. The only Python in the plan is the Arrow-batched
-    centroid-assignment UDF (one per side — the r3 design that lets k
-    scale past the unrolled-projection cap); scoring stays JVM-side
-    (no BatchEvalPython anywhere)."""
+def test_ivf_probe_is_kernel_scored_no_pair_join(spark):
+    """The r7 float IVF probe: candidates are scored inside ONE
+    mapInPandas kernel (per-batch top-k supersets), so the plan has NO
+    pair join at all — no HashJoin carrying vector payloads, no
+    nested-loop, no row-at-a-time Python. The only other Python node is
+    the Arrow-batched centroid-assignment UDF on the candidate side
+    (exactly one — the kernel reads `_c` without a join, so the old
+    eqNullSafe double-eval hazard is structurally gone)."""
     import re
 
     from pyspark.sql import functions as F
@@ -109,15 +110,10 @@ def test_ivf_join_is_hash_join_no_python(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     plan = explain_str(ivf_topk(emb, qry, k=3, n_centroids=4, nprobe=2, iters=1))
-    assert "HashJoin" in plan  # BroadcastHashJoin or ShuffledHashJoin
-    assert "NestedLoop" not in plan
+    assert "Join" not in plan  # the pair join is gone entirely
     assert "BatchEvalPython" not in plan
-    # EXACTLY one assignment UDF on the candidate side + one probe UDF
-    # on the query side: a plain == join key makes Catalyst infer an
-    # isnotnull(_c) constraint that extracts a second candidate-side
-    # eval (assignment would run 2× over the corpus) — the probe joins
-    # null-safe to suppress it
-    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
 
 
 def test_exact_near_dup_guard_means_lsh_default_no_nested_loop(spark):
@@ -175,9 +171,11 @@ def test_bucketed_pages_join_skips_pages_side_shuffle(spark):
 
 def test_stored_ivf_index_probe_prunes_partitions(spark, tmp_path):
     """A path-stored IVF index is parquet PARTITIONED BY the inverted
-    list id; probing it must show a dynamic-partition-pruning filter on
-    the candidate scan (only the nprobe probed lists' files are read —
-    at 100 TB this is what makes a probe O(probed lists), not O(index))."""
+    list id; a probe must only read the probed lists' files — at 100 TB
+    this is what makes a probe O(probed lists), not O(index). r7: probe
+    lists are derived driver-side, so the pruning is a STATIC partition
+    filter on `_c` (stronger than the old dynamic pruning — resolved at
+    plan time, no subquery broadcast), and the scan must show it."""
     from pyspark.sql import functions as F
 
     from downloader_spark.operators.similarity import build_ivf_index, ivf_probe
@@ -190,7 +188,18 @@ def test_stored_ivf_index_probe_prunes_partitions(spark, tmp_path):
         emb, n_centroids=16, iters=1, path=str(tmp_path / "ivf_idx")
     )
     plan = explain_str(ivf_probe(index, qry, k=3, nprobe=2))
-    assert "dynamicpruning" in plan.lower()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*_c[^\]]*)\]", plan)
+    assert m, plan  # the _c IN (...) filter reached the partitioned scan
+    # and the quantized probe (old join path) keeps its dynamic pruning
+    # eligibility: the sq8 probe still joins on the partition column
+    sq8 = build_ivf_index(
+        emb, n_centroids=16, iters=1, path=str(tmp_path / "ivf_sq8"),
+        quantize="sq8",
+    )
+    plan_q = explain_str(ivf_probe(sq8, qry, k=3, nprobe=2, rerank_from=emb))
+    assert "dynamicpruning" in plan_q.lower()
 
 
 def test_round4_text_operators_stay_native(spark):
