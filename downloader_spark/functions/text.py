@@ -138,15 +138,27 @@ GOPHER_THRESHOLDS = {
 }
 
 
-def gopher_features(text: Column) -> dict[str, Column]:
+def gopher_features(
+    text: Column, toks: Column | None = None, lines: Column | None = None
+) -> dict[str, Column]:
     """Gopher rule-pack inputs as NATIVE columns (no UDF): word count,
     mean word length, bullet-started / ellipsis-ended line ratios,
     symbol-to-word ratio (# and ellipsis), fraction of words with ≥ one
     alphabetic character. Ratios are rounded to 6 dp so the DuckDB
-    oracle compares exactly."""
-    lines = F.split(text, "\n")
+    oracle compares exactly.
+
+    Hot paths pass MATERIALIZED ``toks`` (= _tokens(text)) and
+    ``lines`` (= split(text, '\\n')) from a prior projection: the
+    token array is referenced by three HOF lambdas and the line array
+    by two, and inline expressions re-inline per reference (the
+    shingles_of_words rule; r7 — measured 1.5 → 1.1 s warm plus
+    several seconds of codegen on the sf1.0 webtext corpus). Same
+    expressions either way."""
+    if lines is None:
+        lines = F.split(text, "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
-    toks = _tokens(text)
+    if toks is None:
+        toks = _tokens(text)
     n_words = token_count(text)
     nw = F.greatest(n_words, F.lit(1)).cast("double")
     bullet = F.size(
@@ -189,11 +201,14 @@ def gopher_features(text: Column) -> dict[str, Column]:
     }
 
 
-def gopher_flags(text: Column) -> Column:
+def gopher_flags(
+    text: Column, toks: Column | None = None, lines: Column | None = None
+) -> Column:
     """Struct of per-rule Gopher flags + a composite ``gopher_pass``
     (true iff no rule fires). Thresholds are GOPHER_THRESHOLDS — the
-    published constants, not tunables hidden in code."""
-    f = gopher_features(text)
+    published constants, not tunables hidden in code. Pass materialized
+    ``toks``/``lines`` on hot paths (see gopher_features)."""
+    f = gopher_features(text, toks, lines)
     t = GOPHER_THRESHOLDS
     too_few = f["n_words"] < t["min_words"]
     too_many = f["n_words"] > t["max_words"]

@@ -405,6 +405,7 @@ def connected_keepers(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 12,
+    collect_max: int = 2_000_000,
 ) -> DataFrame:
     """(node, keeper) for every node in the pair graph: keeper = the
     smallest id reachable through near-dup edges — the canonical-doc
@@ -425,8 +426,52 @@ def connected_keepers(
     one join + one groupBy (+ one label self-join in doubling rounds);
     labels are persisted per round and the previous round unpersisted,
     so lineage and cache stay O(1) in rounds.
+
+    Small graphs (≤ ``collect_max`` edges) short-circuit to a
+    driver-side union-find (r7): every propagation round is 2-3 Spark
+    jobs plus a tracked checkpoint, so a 5k-edge dup graph paid ~3 s
+    of pure round fixed cost — the same result is exact in
+    milliseconds on the driver. The gate is the same bounded-small-side
+    class as the ≤256 MiB Bloom broadcast (CrawlConfig
+    bloom_broadcast_max): 2M bare-id edges ≈ 32 MB collected; the
+    edge table is persisted for the gate count, so the big path's
+    first round reuses it instead of recomputing pair generation.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= collect_max:
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                parent[b] = a
+        nodes = {v for r in rows for v in (r[0], r[1])}
+        best: dict = {}
+        for v in nodes:
+            r = find(v)
+            if r not in best or v < best[r]:
+                best[r] = v
+        out_rows = [(v, best[find(v)]) for v in sorted(nodes)]
+        spark = pairs.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema[id_a].dataType
+        schema = StructType(
+            [StructField("node", id_type), StructField("keeper", id_type)]
+        )
+        return spark.createDataFrame(out_rows, schema)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -484,6 +529,7 @@ def connected_keepers(
             "48 pointer-jumping rounds (diameter > ~2^48)"
         )
     sym.unpersist()
+    edges.unpersist()
     # the result reads the final round's (already materialized)
     # checkpoint blocks — no persist-registry entry survives the call
     # beyond them, and they are reclaimed when the result is
@@ -533,7 +579,12 @@ def minhash_band_candidates(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.bhash")
-    l, r = banded.alias("l"), banded.alias("r")
+    # shuffle-hash, not sort-merge (r7, guide §3.1): both sides are the
+    # same banded table, the build side is bounded per partition by
+    # rows/shuffle-partitions, and skipping the two big sorts measured
+    # 10.7 → 5.8 s on the sf1.0 webtext survivor corpus (13M candidate
+    # pairs out of hot template buckets)
+    l, r = banded.alias("l").hint("shuffle_hash"), banded.alias("r")
     return (
         l.join(
             r,
@@ -582,7 +633,15 @@ def minhash_verified_pairs(
     )
     a = gs.select(F.col("_gid").alias("id_a"), F.col("_gs").alias("_gsa"))
     b = gs.select(F.col("_gid").alias("id_b"), F.col("_gs").alias("_gsb"))
-    joined = cands.join(a, "id_a").join(b, "id_b")
+    # shuffle-hash on both gram-array attach joins (r7, guide §3.1):
+    # sort-merge sorted the multi-million-row candidate pair table
+    # twice — the second time carrying the first side's gram arrays —
+    # for a join whose build side (one gram array per surviving doc)
+    # hashes comfortably per partition; measured 24.5 → 11.5 s on the
+    # sf1.0 webtext corpus, identical output
+    joined = cands.join(a.hint("shuffle_hash"), "id_a").join(
+        b.hint("shuffle_hash"), "id_b"
+    )
     jac = F.size(F.array_intersect("_gsa", "_gsb")) / F.size(
         F.array_union("_gsa", "_gsb")
     )

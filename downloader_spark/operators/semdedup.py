@@ -231,49 +231,82 @@ def _make_cluster_edges_fn(threshold: float, round_to: int, block: int = 2048):
     cut = threshold - 0.5 * quantum
     band = 1e-9
 
-    def edges_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
-        ids = pdf["_id"].to_numpy()[order]
-        V = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
-        )[order]
-        dim = V.shape[1]
-        # candidate norms: the same fold as _norm()
-        nsq = np.zeros(n, dtype=np.float64)
-        for d in range(dim):
+    def _fold_norm(V):
+        nsq = np.zeros(V.shape[0], dtype=np.float64)
+        for d in range(V.shape[1]):
             c = V[:, d]
             nsq = nsq + c * c
-        nrm = np.sqrt(nsq)
+        return np.sqrt(nsq)
+
+    def _emit(ids_a, ids_b, V_a, V_b, nrm_a, nrm_b, pair_mask, out_a, out_b):
+        """Score every (A-row × B-row) pair with the exact fold, keep
+        those passing the rounded-threshold test AND ``pair_mask``."""
+        acc = np.zeros((V_a.shape[0], V_b.shape[0]), dtype=np.float64)
+        for d in range(V_a.shape[1]):
+            acc = acc + V_a[:, d][:, None] * V_b[:, d][None, :]
+        sims = acc / (nrm_a[:, None] * nrm_b[None, :])
+        hit = pair_mask & (sims >= cut - band)
+        ii, jj = np.nonzero(hit)
+        if len(ii):
+            s = sims[ii, jj]
+            sure = s >= cut + band
+            for t in np.nonzero(~sure)[0]:
+                sure[t] = _spark_round(float(s[t]), round_to) >= threshold
+            ii, jj = ii[sure], jj[sure]
+            if len(ii):
+                a, b = ids_a[ii], ids_b[jj]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+
+    def edges_fn(pdf: pd.DataFrame, ta: int = 0, tb: int = 0) -> pd.DataFrame:
+        """One (cluster, block-pair) task: rows carry ``_blk`` ∈ {ta,
+        tb}; within-block (ta == tb) pairs use the strict id upper
+        triangle, cross-block pairs score every A×B combination once
+        and emit (min id, max id) — the same pair set and arithmetic
+        as the single-task form, split for parallelism."""
+        empty = pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        if len(pdf) < 2:
+            return empty
+        blk = (
+            pdf["_blk"].to_numpy()
+            if "_blk" in pdf.columns
+            else np.zeros(len(pdf), dtype=np.int64)
+        )
+        ids = pdf["_id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
         out_a, out_b = [], []
-        for i0 in range(0, n, block):
-            A = V[i0 : i0 + block]
-            for j0 in range(i0, n, block):
-                B = V[j0 : j0 + block]
-                acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
-                for d in range(dim):
-                    acc = acc + A[:, d][:, None] * B[:, d][None, :]
-                sims = acc / (
-                    nrm[i0 : i0 + block][:, None] * nrm[j0 : j0 + block][None, :]
-                )
-                # strict upper triangle in sorted-id space == id_a < id_b
-                ia = np.arange(i0, i0 + A.shape[0])
-                jb = np.arange(j0, j0 + B.shape[0])
-                upper = ia[:, None] < jb[None, :]
-                hit = upper & (sims >= cut - band)
-                ii, jj = np.nonzero(hit)
-                if len(ii):
-                    s = sims[ii, jj]
-                    sure = s >= cut + band
-                    for t in np.nonzero(~sure)[0]:
-                        sure[t] = _spark_round(float(s[t]), round_to) >= threshold
-                    ii, jj = ii[sure], jj[sure]
-                    out_a.append(ids[ia[ii]])
-                    out_b.append(ids[jb[jj]])
+        if ta == tb:
+            order = np.argsort(ids, kind="stable")
+            ids, V = ids[order], V[order]
+            n = V.shape[0]
+            nrm = _fold_norm(V)
+            for i0 in range(0, n, block):
+                for j0 in range(i0, n, block):
+                    ia = np.arange(i0, min(i0 + block, n))
+                    jb = np.arange(j0, min(j0 + block, n))
+                    _emit(
+                        ids[ia], ids[jb], V[ia], V[jb],
+                        nrm[ia], nrm[jb],
+                        ia[:, None] < jb[None, :], out_a, out_b,
+                    )
+        else:
+            ma, mb = blk == ta, blk == tb
+            if not ma.any() or not mb.any():
+                return empty
+            Va, Vb = V[ma], V[mb]
+            na, nb_ = _fold_norm(Va), _fold_norm(Vb)
+            ia_all, jb_all = ids[ma], ids[mb]
+            for i0 in range(0, Va.shape[0], block):
+                for j0 in range(0, Vb.shape[0], block):
+                    sa, sb = slice(i0, i0 + block), slice(j0, j0 + block)
+                    _emit(
+                        ia_all[sa], jb_all[sb], Va[sa], Vb[sb],
+                        na[sa], nb_[sb],
+                        np.ones((len(ia_all[sa]), len(jb_all[sb])), dtype=bool),
+                        out_a, out_b,
+                    )
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            return empty
         return pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
@@ -355,10 +388,40 @@ def semantic_dedup(
         [StructField("id_a", id_type), StructField("id_b", id_type)]
     )
     edges_fn = _make_cluster_edges_fn(threshold, round_to)
+    # block-pair parallelism (r7): one task per cluster capped the
+    # kernel at k-way parallelism (k=8 on a 32-core host → 3/4 idle).
+    # Rows are hash-assigned to nb deterministic blocks and replicated
+    # to every (block, block) task they participate in — k·nb(nb+1)/2
+    # tasks, same pair set, same per-pair arithmetic. nb is derived
+    # from the session parallelism (not a magic constant); nb=1
+    # degenerates to the per-cluster form.
+    k = max(len(centroids_micro), 1)
+    par = spark.sparkContext.defaultParallelism
+    nb = 1
+    while k * nb * (nb + 1) // 2 < par and nb < 8:
+        nb += 1
+    tasks = asg.select(
+        "cluster", "_id", "_v",
+        F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(nb))
+        .cast("int").alias("_blk"),
+    ).select(
+        "cluster", "_id", "_v", "_blk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nb - 1)),
+                lambda x: F.struct(
+                    F.least(F.col("_blk"), x.cast("int")).alias("ta"),
+                    F.greatest(F.col("_blk"), x.cast("int")).alias("tb"),
+                ),
+            )
+        ).alias("_t"),
+    ).select("cluster", "_id", "_v", "_blk", "_t.ta", "_t.tb")
     edges = (
-        asg.select("cluster", "_id", "_v")
-        .groupBy("cluster")
-        .applyInPandas(lambda _key, pdf: edges_fn(pdf), edge_schema)
+        tasks.groupBy("cluster", "ta", "tb")
+        .applyInPandas(
+            lambda key, pdf: edges_fn(pdf, int(key[1]), int(key[2])),
+            edge_schema,
+        )
     )
 
     comp = connected_keepers(edges).select(

@@ -415,6 +415,10 @@ def kmeans_centroids(
             F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(m))
             < int(sample_frac * m)
         )
+    # (r7 note: hash-spreading the fit input off the single-partition
+    # fixture scan was tried and REVERTED — the extra shuffle stages
+    # cost more than the ≤20k-row Lloyd passes gain; measured 1.4 s →
+    # 2.3-6.2 s. The kernel probe rewrite is where the win was.)
     init = vecs.orderBy(F.xxhash64(F.col("_id").cast("string")), "_id").limit(k)
     centroids = [list(r["_v"]) for r in init.collect()]
     if not centroids:

@@ -79,6 +79,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session parallelism before
+    per-row-HEAVY map work (r7). The sf fixtures are single-row-group
+    parquet files, so a scan is ONE partition and every pre-exchange
+    projection (regex, HOFs, Arrow UDFs, gram explodes) otherwise runs
+    on one core — measured 19 s single-task vs ~2 s spread for the
+    extract UDF at sf1.0. Only applied where the map work dominates
+    the ~0.2 s shuffle it costs; at production scale scans yield
+    thousands of partitions and callers would drop this (the
+    repartition constant is the session's core count, not a magic
+    number)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Flagship + document/text analytics
 # ---------------------------------------------------------------------------
@@ -137,7 +151,7 @@ def q_token_counts(spark, sf_dir):
     """,
 )
 def q_quality_score(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     denom = F.greatest("n_chars", F.lit(1))
     punct = F.length(F.regexp_replace("text", r"[^.!?]", ""))
     digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
@@ -402,11 +416,21 @@ def q_gopher_quality(spark, sf_dir):
             )
         )
     )
-    feats = gopher_features(F.col("text"))
     # spread the per-row HOF work: the sf fixture is ONE small parquet
     # file (1 scan partition per union branch); at production scale the
     # scan already yields thousands of partitions and this is ~free
     seeded = seeded.repartition(spark.sparkContext.defaultParallelism)
+    # token/line arrays materialized ONCE (r7): features and flags
+    # together reference the token array six times and the line array
+    # four times, and inline split expressions re-inline per reference
+    from .functions.text import _tokens
+
+    seeded = seeded.select(
+        "doc_id", "text",
+        _tokens(F.col("text")).alias("_gtoks"),
+        F.split(F.col("text"), "\n").alias("_glines"),
+    )
+    feats = gopher_features(F.col("text"), F.col("_gtoks"), F.col("_glines"))
     return (
         # Arrow fast path — bit-exact vs functions/text.with_repetition
         # (the oracle's semantic reference), pinned corpus-wide by
@@ -423,7 +447,9 @@ def q_gopher_quality(spark, sf_dir):
                     "alpha_word_ratio",
                 )
             ],
-            gopher_flags(F.col("text")).alias("_fl"),
+            gopher_flags(
+                F.col("text"), F.col("_gtoks"), F.col("_glines")
+            ).alias("_fl"),
             *REPETITION_FEATURES,
             *REPETITION_FLAGS,
             "repetition_pass",
@@ -869,7 +895,14 @@ def q_extract_lang_profile(spark, sf_dir):
     from .functions.udfs import extract_udf
     from .sources.pagegen import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir)
+    # spread the extract UDF across cores (r7): the sf fixture is ONE
+    # parquet file → one scan partition, so the whole corpus was parsed
+    # by a single Python worker (measured 19 s single-task vs ~2 s
+    # spread at sf1.0); at production scale the scan already yields
+    # thousands of partitions and this is ~free
+    pages = pages_from_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ex = pages.withColumn(
         "ex", extract_udf("url", "html", F.lit("text/html"))
     )
@@ -1519,7 +1552,7 @@ def q_decontaminate(spark, sf_dir):
         F.concat_ws(" ", F.slice(words_of(F.col("text")), 5, 16)).alias("etext"),
     )
     return contamination_stats(
-        docs, "doc_id", F.col("text"), eval_df, F.col("etext"), n=8
+        _spread(spark, docs), "doc_id", F.col("text"), eval_df, F.col("etext"), n=8
     ).orderBy("doc_id")
 
 
@@ -1593,7 +1626,7 @@ def q_drop_repeated_spans(spark, sf_dir):
         F.when(F.col("doc_id") % 50 == 0,
                F.lit("\nLimited time offer act now")).otherwise(F.lit("")),
     )
-    seeded = docs.select("doc_id", text2.alias("text"))
+    seeded = _spread(spark, docs.select("doc_id", text2.alias("text")))
     return drop_repeated_spans(
         seeded, "doc_id", F.col("text"), min_df=2, min_words=3
     ).orderBy("doc_id")
@@ -1665,12 +1698,19 @@ def _webtext_gate(spark, corpus):
     q_webtext_pipeline's docstring for why the length gate and the
     top-3/4-gram rules are deliberately not applied here)."""
     from .functions.repetition_arrow import with_repetition_arrow
-    from .functions.text import gopher_flags
+    from .functions.text import _tokens, gopher_flags
 
-    fl = gopher_flags(F.col("text"))
     # spread the per-row HOF gate work across cores (single-file toy
     # fixture -> one scan partition per union branch; free at scale)
     corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
+    # token/line arrays materialized once for the flag HOFs (r7 — the
+    # shingles_of_words inline-reuse rule; same expressions)
+    corpus = corpus.select(
+        "doc_id", "text",
+        _tokens(F.col("text")).alias("_gtoks"),
+        F.split(F.col("text"), "\n").alias("_glines"),
+    )
+    fl = gopher_flags(F.col("text"), F.col("_gtoks"), F.col("_glines"))
     return (
         # Arrow fast path, bit-exact vs text.with_repetition (pinned by
         # tests/test_repetition_arrow.py) — the oracle SQL is unchanged
@@ -2412,7 +2452,7 @@ def q_detect_lang_counts(spark, sf_dir):
     # the shingles_of_words rule applied to the lang scorer
     from .functions.text import _tokens, detect_lang_from_tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents").select("text"))
     return (
         docs.select(_tokens(F.col("text")).alias("_toks"))
         .select(detect_lang_from_tokens(F.col("_toks")).alias("detected"))
@@ -2571,7 +2611,7 @@ def q_pii_redact(spark, sf_dir):
             ((d * 7) % 256).cast("string"),
         )).otherwise(F.lit("")),
     )
-    base = docs.select("doc_id", seeded_text.alias("text"))
+    base = _spread(spark, docs.select("doc_id", seeded_text.alias("text")))
     counts = pii_counts(F.col("text"))
     return base.select(
         "doc_id",
@@ -2605,7 +2645,13 @@ def q_fingerprint_groups(spark, sf_dir):
         docs.filter(F.col("doc_id") % 25 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
-    ).select("doc_id", tokens_of(F.col("text")).alias("_toks"))  # split once
+    )
+    # spread BEFORE the token projection so the split itself runs
+    # distributed (r7; a post-projection repartition would still do
+    # the heavy map work in the single scan task)
+    seeded = _spread(spark, seeded).select(
+        "doc_id", tokens_of(F.col("text")).alias("_toks")
+    )  # split once
     return (
         seeded.groupBy(fingerprint64_of_words(F.col("_toks")).alias("_fp"))
         .agg(
@@ -3400,7 +3446,9 @@ def q_multi_format_fanout(spark, sf_dir):
         url.alias("url"),
         F.encode(html_str, "UTF-8").alias("html"),
         formats.alias("formats"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # ^ r7: single-file fixture scan = one partition = one Python
+    # worker parsing every page (same fix as extract_lang_profile)
     extracted = pages.withColumn("ex", extract_udf("url", "html", F.lit("text/html")))
     return multi_format_results(extracted).select(
         "url", "format", "mime", "error_type",
@@ -3532,11 +3580,14 @@ def _bpe_seeded_docs(spark, sf_dir):
         F.replace(F.substring("text", 1, 40), F.lit(" "), F.lit("")),
         F.expr("substring(text, 41)"),
     )
-    return docs.unionByName(
+    seeded = docs.unionByName(
         docs.filter(d % 10 == 0).select(
             (d + 1000000).alias("doc_id"), compact.alias("text")
         )
     )
+    # spread before the Arrow BPE encoder (r7: single-row-group scan
+    # would otherwise push every doc through ONE Python worker)
+    return _spread(spark, seeded)
 
 
 def _bpe_oracle_common() -> str:
@@ -3910,7 +3961,7 @@ def q_lm_perplexity(spark, sf_dir):
         )
     )
     return (
-        score_perplexity(seeded)
+        score_perplexity(_spread(spark, seeded))
         .select("doc_id", "n_bigrams", "nll_micro", "mean_nll", "ppl_bucket")
         .orderBy("doc_id")
     )
@@ -4031,7 +4082,7 @@ def q_quality_classifier(spark, sf_dir):
         )
     )
     return (
-        score_quality(seeded)
+        score_quality(_spread(spark, seeded))
         .select("doc_id", "n_grams", "score_micro", "mean_score", "quality_label")
         .orderBy("doc_id")
     )

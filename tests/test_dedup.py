@@ -162,8 +162,16 @@ def test_connected_keepers_chain_and_clique(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "id_a long, id_b long",
     )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     got = {r["node"]: r["keeper"] for r in connected_keepers(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert got == expected
+    # r7: the small-graph driver union-find and the distributed
+    # propagation loop (forced via collect_max=0) must agree exactly
+    got_dist = {
+        r["node"]: r["keeper"]
+        for r in connected_keepers(pairs, collect_max=0).collect()
+    }
+    assert got_dist == expected
 
 
 def test_connected_keepers_deep_chain_pointer_jump_fallback(spark):
@@ -175,7 +183,12 @@ def test_connected_keepers_deep_chain_pointer_jump_fallback(spark):
 
     edges = [(i, i + 1) for i in range(40)] + [(100, 101)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r["node"]: r["keeper"] for r in connected_keepers(pairs, max_iters=4).collect()}
+    # collect_max=0 forces the distributed loop (r7: the default gate
+    # would short-circuit a 41-edge graph to the driver union-find)
+    got = {
+        r["node"]: r["keeper"]
+        for r in connected_keepers(pairs, max_iters=4, collect_max=0).collect()
+    }
     assert got == {**{i: 0 for i in range(41)}, 100: 100, 101: 100}
 
 
@@ -316,7 +329,9 @@ def test_connected_keepers_releases_cache(spark):
 
     before = n_persistent()
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
-    out = connected_keepers(pairs)
+    # collect_max=0: the loop (whose cache hygiene this test pins) —
+    # the driver-path result holds no persisted RDDs at all
+    out = connected_keepers(pairs, collect_max=0)
     assert out.count() == 3
     # only the localCheckpoint blocks of the RESULT may remain; none of
     # the loop's persist() handles (labels/sym rounds) survive the call
