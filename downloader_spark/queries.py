@@ -93,6 +93,33 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+def _spread_if_big(
+    spark: SparkSession, df: DataFrame, sf_dir: str,
+    table: str = "documents", min_mb: int = 4,
+) -> DataFrame:
+    """_spread gated on the source table's file size (guide §2: derive
+    scale-dependent partitioning from input size, not a constant). For
+    BORDERLINE per-row work — cheap enough that the ~0.2 s shuffle
+    outweighs it at sf0.1 (measured quality_score 0.30 → 0.55-0.77 s
+    there) but single-core-bound at sf1.0+ (1.8 → 0.5 s) — spread only
+    once the input outgrows ``min_mb``. Clearly-heavy paths (UDFs,
+    gram explodes, multi-regex flag packs) use _spread unconditionally:
+    they win at every fixture scale."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        # single-file fixtures: the size IS the table size; directory
+        # or remote layouts: assume big (a multi-file table usually
+        # already scans parallel anyway — the repartition is harmless)
+        size = (1 << 40) if os.path.isdir(path) else os.path.getsize(path)
+    except OSError:
+        size = 1 << 40
+    if size >= min_mb * (1 << 20):
+        return _spread(spark, df)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Flagship + document/text analytics
 # ---------------------------------------------------------------------------
@@ -151,7 +178,7 @@ def q_token_counts(spark, sf_dir):
     """,
 )
 def q_quality_score(spark, sf_dir):
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs = _spread_if_big(spark, _t(spark, sf_dir, "documents"), sf_dir)
     denom = F.greatest("n_chars", F.lit(1))
     punct = F.length(F.regexp_replace("text", r"[^.!?]", ""))
     digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
