@@ -65,6 +65,11 @@ def _round6(x: float) -> float:
 
 
 def _toks_py(text: str) -> list[str]:
+    # lower(): CPython's str.lower mirrors JVM String.toLowerCase for
+    # ASCII/BMP-common text (everything the corpora and tests cover);
+    # exotic code points with version/locale-sensitive case mappings
+    # are OUTSIDE the pinned bit-exactness scope (ADVICE r6) — the
+    # battery in tests/test_repetition_arrow.py is the contract.
     return _JAVA_WS.split(text.lower().strip(" "))
 
 

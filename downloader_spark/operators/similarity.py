@@ -696,7 +696,13 @@ def make_pq_decode_udf(pq: dict):
 
 
 def pq_encode_py(vec, pq: dict) -> list[int]:
-    """Python mirror of make_pq_encode_udf (same numpy expressions)."""
+    """Python mirror of make_pq_encode_udf. Parity caveat (ADVICE r6):
+    the UDF scores with a batched matmul (S @ mats[j].T) while this
+    mirror uses a per-row matvec — BLAS may sum in different orders,
+    so NEAR-EQUIDISTANT codewords can flip argmin between the two
+    paths. Unlike semdedup's exact-BIGINT argmin, PQ code equality is
+    only up to float near-ties; the pinned contract is RECALL
+    (tests/test_similarity_quant.py), never bit-equality of codes."""
     import numpy as np
 
     mats = _pq_mats(pq)

@@ -16,7 +16,7 @@ rank_refresh_sec out of wall_sec, evidencing that the O(edges) refresh
 fits inside the wave budget at the 1M-page scale.
 
 Usage: python scripts/evidence_crawl_10x.py [n_hosts] [pages_per_host]
-           [--cuckoo] [--pagerank]
+           [--cuckoo] [--pagerank] [--url-filter]
 """
 
 from __future__ import annotations
