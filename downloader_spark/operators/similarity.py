@@ -920,9 +920,13 @@ def ivf_probe(
         cn = (C * C).sum(axis=1)
         n_lists = len(index.centroids)
         n_probe = min(nprobe, n_lists)
-        lists = np.argsort(
-            cn[None, :] - 2.0 * (Q @ C.T), axis=1, kind="stable"
-        )[:, :n_probe]
+        lists = (
+            np.argsort(
+                cn[None, :] - 2.0 * (Q @ C.T), axis=1, kind="stable"
+            )[:, :n_probe]
+            if len(Q)
+            else np.zeros((0, n_probe), dtype=np.int64)
+        )
         probe_bool = np.zeros((len(Q), n_lists), dtype=bool)
         for j, row in enumerate(lists):
             probe_bool[j, row] = True

@@ -602,3 +602,29 @@ def test_hll_sketch_accuracy_merge_and_recompute(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="power of two"):
         hll_registers(df, F.col("s"), m=100)
+
+
+def test_kernel_paths_handle_empty_query_batch(spark, vecs):
+    """r7 kernel regression guard: an empty query batch must yield an
+    empty result (not a numpy shape error) on every scoring path."""
+    from pyspark.sql import functions as F
+
+    from downloader_spark.operators.similarity import (
+        build_ivf_index,
+        build_ivf2_index,
+        cosine_topk,
+        ivf_probe,
+        ivf2_probe,
+        lsh_topk,
+    )
+
+    df, _ = vecs
+    empty_q = df.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert cosine_topk(df, empty_q, k=3).count() == 0
+    assert lsh_topk(df, empty_q, dim=8, k=3, n_planes=4).count() == 0
+    idx = build_ivf_index(df, n_centroids=4, iters=1, persist=False)
+    assert ivf_probe(idx, empty_q, k=3, nprobe=2).count() == 0
+    idx2 = build_ivf2_index(df, n_coarse=2, n_sub=2, iters=1, persist=False)
+    assert ivf2_probe(idx2, empty_q, k=3, wprobe=2, nprobe=2).count() == 0
